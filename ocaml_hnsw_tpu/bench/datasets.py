@@ -1,0 +1,58 @@
+"""Synthetic dataset generators for the benchmark configs (BASELINE.md).
+
+No real datasets exist on this machine and there is no network (SURVEY.md §6),
+so configs 2–5 use synthetic stand-ins of matching shape/metric.  Clustered
+generation makes recall non-trivial (uniform random data is too easy for HNSW).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def random_uniform(n: int, dim: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.rand(n, dim).astype(np.float32)
+
+
+def clustered(n: int, dim: int, n_clusters: int = 100, seed: int = 0,
+              spread: float = 0.15) -> np.ndarray:
+    """Gaussian-mixture data: the shape real embedding datasets (SIFT/GloVe/CLIP)
+    take, where the select-neighbors heuristic actually matters (SURVEY.md §3.4)."""
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim).astype(np.float32)
+    assign = rng.randint(0, n_clusters, size=n)
+    return (centers[assign] + spread * rng.randn(n, dim)).astype(np.float32)
+
+
+def queries_like(data: np.ndarray, n_queries: int, seed: int = 1,
+                 jitter: float = 0.1) -> np.ndarray:
+    """Queries drawn near dataset points (ann-benchmarks train/test style)."""
+    rng = np.random.RandomState(seed)
+    picks = rng.randint(0, data.shape[0], size=n_queries)
+    q = data[picks] + jitter * rng.randn(n_queries, data.shape[1]).astype(np.float32)
+    return q.astype(np.float32)
+
+
+def sift_shaped(n: int = 1_000_000, n_queries: int = 10_000, seed: int = 7):
+    """Config 2 stand-in: SIFT1M-shaped — 128-d, clustered, L2."""
+    data = clustered(n, 128, n_clusters=max(64, n // 2500), seed=seed)
+    return data, queries_like(data, n_queries, seed=seed + 1)
+
+
+def glove_shaped(n: int = 1_183_514, n_queries: int = 10_000, seed: int = 11):
+    """Config 3 stand-in: GloVe-1.2M-shaped — 100-d, angular/cosine."""
+    data = clustered(n, 100, n_clusters=max(64, n // 2500), seed=seed)
+    return data, queries_like(data, n_queries, seed=seed + 1)
+
+
+def deep_shaped(n: int = 10_000_000, n_queries: int = 10_000, seed: int = 13):
+    """Config 4 stand-in: Deep10M-shaped — 96-d, L2, for int8 quantization."""
+    data = clustered(n, 96, n_clusters=max(64, n // 2500), seed=seed)
+    return data, queries_like(data, n_queries, seed=seed + 1)
+
+
+def laion_shaped(n: int = 5_000_000, n_queries: int = 10_000, seed: int = 17):
+    """Config 5 stand-in: LAION-5M CLIP-shaped — 768-d, cosine, streaming."""
+    data = clustered(n, 768, n_clusters=max(64, n // 2500), seed=seed)
+    return data, queries_like(data, n_queries, seed=seed + 1)
