@@ -1,0 +1,4 @@
+from ocaml_hnsw_tpu.models.graph import GraphTensors, from_oracle, empty_graph
+from ocaml_hnsw_tpu.models.search import knn_search
+
+__all__ = ["GraphTensors", "from_oracle", "empty_graph", "knn_search"]

@@ -1,0 +1,69 @@
+"""Batched distance computation — the TPU replacement for the reference's L0
+"vector storage & distance" layer (SURVEY.md §1): instead of one scalar
+`distance(a, b)` call per edge, every frontier expansion computes a whole
+[B, K] block of query↔neighbor distances as gathers + an MXU contraction.
+
+Metric conventions match the oracle / hnswlib surface: "l2" = squared
+Euclidean, "ip" = 1 - <q, x>, "cosine" = 1 - <q̂, x̂> with vectors normalized
+at add/query time, making it identical to "ip" on-device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.float32(jnp.inf)
+
+
+def query_norms(q: jax.Array, metric: str) -> jax.Array:
+    """Per-query ||q||² for the l2 expansion; zeros otherwise. [B]"""
+    if metric == "l2":
+        return jnp.sum(q * q, axis=-1)
+    return jnp.zeros(q.shape[:-1], dtype=q.dtype)
+
+
+def dists_to_ids(
+    vectors: jax.Array,  # f32[N_cap, D]
+    norms: jax.Array,  # f32[N_cap]   precomputed ||x||² (zeros for ip/cosine)
+    q: jax.Array,  # f32[B, D]
+    qn: jax.Array,  # f32[B]
+    ids: jax.Array,  # i32[B, K]    -1 = sentinel
+    metric: str,
+) -> jax.Array:
+    """Distances d(q_b, x_{ids[b,k]}) as f32[B, K]; +inf at sentinel slots.
+
+    l2 uses ||x||² - 2<q,x> + ||q||² so the only per-candidate work is the
+    gather plus one batched contraction (MXU); ip/cosine are a pure dot.
+    """
+    safe = jnp.maximum(ids, 0)
+    rows = vectors[safe]  # [B, K, D] gather
+    dot = jnp.einsum(
+        "bkd,bd->bk", rows, q, preferred_element_type=jnp.float32
+    )
+    if metric == "l2":
+        d = norms[safe] - 2.0 * dot + qn[:, None]
+        d = jnp.maximum(d, 0.0)
+    else:  # ip / cosine
+        d = 1.0 - dot
+    return jnp.where(ids < 0, INF, d)
+
+
+def pairwise_dists(
+    x: jax.Array,  # f32[B, K, D] candidate vectors
+    x_norms: jax.Array,  # f32[B, K]  ||x||² per candidate (zeros for ip/cosine)
+    metric: str,
+) -> jax.Array:
+    """All-pairs distances within each row's candidate set: f32[B, K, K].
+
+    Used by the vectorized select-neighbors heuristic (paper Alg 4), where the
+    O(|C|·M) sequential distance loop becomes one small batched matmul
+    (SURVEY.md §7 step 4).
+    """
+    dot = jnp.einsum(
+        "bkd,bjd->bkj", x, x, preferred_element_type=jnp.float32
+    )
+    if metric == "l2":
+        d = x_norms[:, :, None] - 2.0 * dot + x_norms[:, None, :]
+        return jnp.maximum(d, 0.0)
+    return 1.0 - dot

@@ -2,17 +2,23 @@
 test (including the sharded-index tests) runs without TPU hardware
 (SURVEY.md §4: "host-count simulation via xla_force_host_platform_device_count").
 
-Must set the env vars before jax is imported anywhere.
+This machine presets JAX_PLATFORMS=axon and a sitecustomize that registers the
+axon (remote TPU tunnel) backend at interpreter startup, so env vars set here
+are too late — override through jax.config before any backend initializes.
+Running tests through the tunnel would pay a network round-trip per op.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

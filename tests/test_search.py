@@ -1,0 +1,112 @@
+"""Parity tests: the batched TPU engine vs the sequential NumPy oracle
+(SURVEY.md §4 "Oracle parity tests") plus exactness and tombstone semantics."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ocaml_hnsw_tpu.config import HnswConfig
+from ocaml_hnsw_tpu.oracle import OracleHNSW, bruteforce_knn, recall
+from ocaml_hnsw_tpu.models import from_oracle, knn_search
+from ocaml_hnsw_tpu.bench.datasets import clustered, queries_like
+
+
+def build_pair(n=1500, dim=24, metric="l2", M=12, efc=80, seed=100,
+               data_seed=0):
+    data = clustered(n, dim, n_clusters=max(5, n // 50), seed=data_seed)
+    if metric == "ip":
+        data = data / np.linalg.norm(data, axis=1, keepdims=True)
+    o = OracleHNSW(HnswConfig(dim=dim, metric=metric, M=M,
+                              ef_construction=efc, seed=seed))
+    o.add_items(data)
+    return data, o, from_oracle(o)
+
+
+class TestParity:
+    @pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
+    def test_recall_matches_oracle(self, metric):
+        data, o, g = build_pair(metric=metric)
+        q = queries_like(data, 100, seed=1)
+        if metric == "ip":
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+        gt, _ = bruteforce_knn(data, q, 10, metric)
+        o_ids, _ = o.knn_query(q, k=10, ef=50)
+        t_ids, _ = knn_search(g, jnp.asarray(q), k=10, ef=50, metric=metric)
+        r_oracle = recall(o_ids, gt)
+        r_tpu = recall(np.asarray(t_ids), gt)
+        # equal ef/M settings ⇒ recall parity within tolerance (BASELINE.md)
+        assert r_tpu >= r_oracle - 0.02, (r_tpu, r_oracle)
+        assert r_tpu >= 0.9
+
+    def test_dists_are_true_metric_values(self):
+        data, o, g = build_pair()
+        q = queries_like(data, 20, seed=3)
+        ids, dists = knn_search(g, jnp.asarray(q), k=5, ef=40, metric="l2")
+        ids, dists = np.asarray(ids), np.asarray(dists)
+        for b in range(20):
+            for j in range(5):
+                diff = data[ids[b, j]] - q[b]
+                np.testing.assert_allclose(dists[b, j], np.dot(diff, diff),
+                                           rtol=1e-3, atol=1e-3)
+
+    def test_sorted_ascending(self):
+        data, o, g = build_pair()
+        q = queries_like(data, 50, seed=4)
+        _, dists = knn_search(g, jnp.asarray(q), k=10, ef=64, metric="l2")
+        d = np.asarray(dists)
+        assert (np.diff(d, axis=1) >= -1e-6).all()
+
+
+class TestExactness:
+    def test_full_ef_is_exact_on_connected_graph(self):
+        # with ef = N the beam explores the whole connected component, so the
+        # result must equal brute force exactly
+        data, o, g = build_pair(n=300, dim=8, M=8, efc=60)
+        q = queries_like(data, 30, seed=5)
+        gt, _ = bruteforce_knn(data, q, 10, "l2")
+        ids, _ = knn_search(g, jnp.asarray(q), k=10, ef=300, metric="l2")
+        assert recall(np.asarray(ids), gt) == 1.0
+
+    def test_query_own_points(self):
+        data, o, g = build_pair(n=400, dim=8)
+        ids, dists = knn_search(g, jnp.asarray(data[:16]), k=1, ef=32, metric="l2")
+        assert np.asarray(ids)[:, 0].tolist() == list(range(16))
+        np.testing.assert_allclose(np.asarray(dists)[:, 0], 0.0, atol=1e-4)
+
+    def test_k_greater_than_ef_widens(self):
+        data, o, g = build_pair(n=400, dim=8)
+        q = queries_like(data, 5, seed=6)
+        ids, _ = knn_search(g, jnp.asarray(q), k=20, ef=4, metric="l2")
+        assert (np.asarray(ids) >= 0).all()
+
+
+class TestTombstones:
+    def test_deleted_filtered(self):
+        data, o, g = build_pair(n=400, dim=8)
+        target = 17
+        ids, _ = knn_search(g, jnp.asarray(data[target:target + 1]), k=1,
+                            ef=32, metric="l2")
+        assert np.asarray(ids)[0, 0] == target
+        g2 = g._replace(deleted=g.deleted.at[target].set(True))
+        ids, _ = knn_search(g2, jnp.asarray(data[target:target + 1]), k=1,
+                            ef=32, metric="l2")
+        assert np.asarray(ids)[0, 0] != target
+
+
+class TestEdgeCases:
+    def test_single_point_index(self):
+        o = OracleHNSW(HnswConfig(dim=4, M=4))
+        o.add(np.ones(4, np.float32))
+        g = from_oracle(o, max_elements=128)
+        ids, dists = knn_search(g, jnp.zeros((2, 4)), k=3, ef=8, metric="l2")
+        ids = np.asarray(ids)
+        assert (ids[:, 0] == 0).all()
+        assert (ids[:, 1:] == -1).all()
+        assert np.isinf(np.asarray(dists)[:, 1:]).all()
+
+    def test_max_iters_caps_loop(self):
+        data, o, g = build_pair(n=400, dim=8)
+        q = queries_like(data, 5, seed=7)
+        ids, _ = knn_search(g, jnp.asarray(q), k=5, ef=32, metric="l2",
+                            max_iters=2)
+        assert np.asarray(ids).shape == (5, 5)
