@@ -1,0 +1,415 @@
+"""Batched parallel index construction on TPU (SURVEY.md §7 step 4).
+
+The reference builds its graph by folding a sequential `insert` over the
+dataset in one thread (SURVEY.md §3.1).  Here construction runs as *rounds* of
+R simultaneous inserts, all inside one jitted step:
+
+  1. levels for every point are pre-sampled on the host from the seeded RNG
+     (identical stream to the oracle's, Alg 1's only randomness),
+  2. each round searches the **pre-round graph snapshot** for all R points at
+     once — greedy descent above each point's level, then an ef_construction
+     beam per layer (reusing the query engine's kernels),
+  3. the select-neighbors heuristic (Alg 4) is vectorized: the O(|C|·M)
+     pairwise-distance loop becomes one [R, K, K] batched matmul plus a
+     fixed-length admit scan,
+  4. edges are applied with **conflict-free deterministic scatter**: forward
+     rows are unique by construction; reverse edges are grouped per target by
+     a (target, distance) lexsort so intra-round order never matters, and
+     over-full rows are re-pruned with the same heuristic (Alg 1's shrink) —
+     SURVEY.md §5.2's "race surface" is closed by construction, verified by
+     the permutation-invariance test.
+
+Round sizes follow a doubling schedule capped at `round_size` so points only
+ever connect to an already-dense snapshot; the jitted step has a single static
+shape (rounds are padded and masked) so the whole build compiles once.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ocaml_hnsw_tpu.config import HnswConfig
+from ocaml_hnsw_tpu.models.graph import GraphTensors, empty_graph, capacity
+from ocaml_hnsw_tpu.models.search import beam_search_layer, _greedy_level
+from ocaml_hnsw_tpu.ops.distance import (
+    dists_to_ids,
+    pairwise_dists,
+    query_norms,
+    INF,
+)
+
+
+# --------------------------------------------------------------------- levels
+def sample_levels(rng: np.random.RandomState, n: int, m_l: float, cap: int):
+    """level = ⌊−ln(U(0,1))·mL⌋ (Alg 1), same RNG stream as the oracle."""
+    u = rng.uniform(size=n)
+    return np.minimum((-np.log(1.0 - u) * m_l).astype(np.int32), cap)
+
+
+# ------------------------------------------------------- heuristic (Alg 4)
+def heuristic_admit(cand_d, pair_d, valid, m: int, keep_pruned: bool):
+    """Vectorized SELECT-NEIGHBORS-HEURISTIC admit loop.
+
+    cand_d: f32[B, K] distances to the query point, **sorted ascending**.
+    pair_d: f32[B, K, K] pairwise distances among candidates.
+    Admit candidate j iff it is strictly closer to the query than to every
+    already-admitted candidate (exactly the oracle's sequential order, run as
+    a fixed-length scan).  Returns the admit mask bool[B, K].
+    """
+    b, k = cand_d.shape
+
+    def body(j, state):
+        sel, cnt = state
+        pj = jax.lax.dynamic_slice_in_dim(pair_d, j, 1, axis=1)[:, 0, :]
+        dmin = jnp.min(jnp.where(sel, pj, INF), axis=1)
+        dj = jax.lax.dynamic_slice_in_dim(cand_d, j, 1, axis=1)[:, 0]
+        vj = jax.lax.dynamic_slice_in_dim(valid, j, 1, axis=1)[:, 0]
+        admit = vj & (cnt < m) & (dj < dmin)
+        sel = jax.lax.dynamic_update_slice_in_dim(
+            sel, admit[:, None], j, axis=1
+        )
+        return sel, cnt + admit.astype(jnp.int32)
+
+    sel, cnt = jax.lax.fori_loop(
+        0, k, body, (jnp.zeros((b, k), jnp.bool_), jnp.zeros((b,), jnp.int32))
+    )
+    if keep_pruned:  # Alg 4 keepPrunedConnections: backfill nearest rejected
+        free = m - cnt
+        rej = valid & ~sel
+        rank = jnp.cumsum(rej, axis=1)
+        sel = sel | (rej & (rank <= free[:, None]))
+    return sel
+
+
+def compact_by_mask(ids, d, mask, m: int):
+    """Pack masked entries left (stable) and truncate/pad to width m."""
+    k = ids.shape[1]
+    key = jnp.where(mask, jnp.arange(k, dtype=jnp.int32)[None, :], k + 1)
+    neg, idx = jax.lax.top_k(-key, min(m, k))
+    ok = (-neg) <= k
+    out_ids = jnp.where(ok, jnp.take_along_axis(ids, idx, axis=1), -1)
+    out_d = jnp.where(ok, jnp.take_along_axis(d, idx, axis=1), INF)
+    if m > k:
+        out_ids = jnp.pad(out_ids, ((0, 0), (0, m - k)), constant_values=-1)
+        out_d = jnp.pad(out_d, ((0, 0), (0, m - k)), constant_values=jnp.inf)
+    return out_ids, out_d
+
+
+def select_neighbors(vectors, norms, w_ids, w_d, m: int, metric: str,
+                     keep_pruned: bool):
+    """Alg 4 over beam results (sorted ascending).  Returns ids/d [B, m]."""
+    valid = w_ids >= 0
+    safe = jnp.maximum(w_ids, 0)
+    cvec = vectors[safe]
+    cnorm = norms[safe]
+    pair = pairwise_dists(cvec, cnorm, metric)
+    sel = heuristic_admit(w_d, pair, valid, m, keep_pruned)
+    return compact_by_mask(w_ids, w_d, sel, m)
+
+
+# ------------------------------------------------------------- edge updates
+def apply_edges(
+    adj,  # i32[N_cap, m_cap] one layer's adjacency
+    vectors,
+    norms,
+    p_ids,  # i32[R] new point ids (unique)
+    sel_ids,  # i32[R, M] chosen neighbors (-1 padded)
+    sel_d,  # f32[R, M]
+    mask,  # bool[R] point participates at this layer
+    m_cap: int,
+    rev_cap: int,
+    metric: str,
+    keep_pruned: bool,
+    pad_row: int,  # reserved never-occupied row used as scatter sink
+):
+    """Forward + reverse edge application with deterministic conflict handling.
+
+    Reverse edges targeting the same node are grouped by a (target, distance)
+    lexsort, capped at rev_cap nearest per round, then merged into the target's
+    row: plain append when it fits (sequential Alg 1 semantics), heuristic
+    re-prune (Alg 1's shrink) when over-full.  Result is independent of
+    intra-round point order.
+    """
+    r, m = sel_ids.shape
+    n_cap = adj.shape[0]
+
+    # ---- forward rows (unique p_ids ⇒ conflict-free scatter)
+    fwd = jnp.pad(sel_ids, ((0, 0), (0, m_cap - m)), constant_values=-1)
+    rows = jnp.where(mask[:, None], fwd, adj[p_ids])
+    adj = adj.at[p_ids].set(rows)
+
+    # ---- reverse pairs (e ← p), grouped by target
+    pair_valid = mask[:, None] & (sel_ids >= 0)
+    e_flat = jnp.where(pair_valid, sel_ids, pad_row).reshape(-1)
+    d_flat = jnp.where(pair_valid, sel_d, INF).reshape(-1)
+    p_flat = jnp.broadcast_to(p_ids[:, None], (r, m)).reshape(-1)
+    order = jnp.lexsort((d_flat, e_flat))  # primary: target; tie: distance
+    e_s, d_s, p_s = e_flat[order], d_flat[order], p_flat[order]
+    kk = e_s.shape[0]
+    idxs = jnp.arange(kk, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.array([True]), e_s[1:] != e_s[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(is_start, idxs, 0))
+    pos = idxs - seg_start
+    keep = (e_s != pad_row) & (pos < rev_cap)  # cap: nearest rev_cap per node
+    rev = jnp.full((n_cap, rev_cap), -1, jnp.int32)
+    rev = rev.at[
+        jnp.where(keep, e_s, pad_row), jnp.where(keep, pos, 0)
+    ].max(jnp.where(keep, p_s, -1))
+
+    # ---- affected target rows
+    ones = jnp.where(e_s != pad_row, 1, 0)
+    cnt = jnp.zeros((n_cap,), jnp.int32).at[e_s].add(ones)
+    cnt = cnt.at[pad_row].set(0)
+    (aff,) = jnp.nonzero(cnt > 0, size=kk, fill_value=pad_row)
+
+    old = adj[aff]  # [A, m_cap]
+    new_ps = rev[aff]  # [A, rev_cap]
+    combined = jnp.concatenate([old, new_ps], axis=1)  # [A, K2]
+    cvalid = combined >= 0
+    overflow = jnp.sum(cvalid, axis=1) > m_cap
+
+    # append path: old entries first, then the new ones, packed
+    evec = vectors[aff]
+    enorm = norms[aff]
+    dcomb = dists_to_ids(
+        vectors, norms, evec, enorm, jnp.where(cvalid, combined, -1), metric
+    )
+    app_ids, _ = compact_by_mask(combined, dcomb, cvalid, m_cap)
+
+    # shrink path: heuristic re-prune over old ∪ new, sorted by distance
+    ord2 = jnp.argsort(jnp.where(cvalid, dcomb, INF), axis=1)
+    sc_ids = jnp.take_along_axis(combined, ord2, axis=1)
+    sc_d = jnp.take_along_axis(dcomb, ord2, axis=1)
+    sc_valid = sc_ids >= 0
+    svec = vectors[jnp.maximum(sc_ids, 0)]
+    snorm = norms[jnp.maximum(sc_ids, 0)]
+    pair2 = pairwise_dists(svec, snorm, metric)
+    sel2 = heuristic_admit(sc_d, pair2, sc_valid, m_cap, keep_pruned)
+    heur_ids, _ = compact_by_mask(sc_ids, sc_d, sel2, m_cap)
+
+    new_rows = jnp.where(overflow[:, None], heur_ids, app_ids)
+    # pad_row fill entries all compute the identical all--1 row → benign dups
+    return adj.at[aff].set(new_rows)
+
+
+# ------------------------------------------------------------- insert round
+@partial(
+    jax.jit,
+    static_argnames=("efc", "m", "m_max0", "rev_cap", "metric", "keep_pruned"),
+)
+def insert_round(
+    graph: GraphTensors,
+    new_vecs,  # f32[R, D]  (already metric-prepped)
+    new_levels,  # i32[R]
+    start,  # i32 scalar: first slot id for this round
+    count,  # i32 scalar: how many of the R rows are real
+    *,
+    efc: int,
+    m: int,
+    m_max0: int,
+    rev_cap: int,
+    metric: str,
+    keep_pruned: bool,
+) -> GraphTensors:
+    """One fully-batched insertion round (Alg 1 for R points against the
+    pre-round snapshot).  R is static; real rounds are padded to R and masked
+    so the whole build compiles exactly once."""
+    r = new_vecs.shape[0]
+    n_cap = graph.n_cap
+    l_max = graph.l_max
+    pad_row = n_cap - 1
+
+    p_ids = (start + jnp.arange(r, dtype=jnp.int32)).astype(jnp.int32)
+    valid = jnp.arange(r) < count
+
+    # ---- place vectors / norms / levels (slots are unoccupied ⇒ safe)
+    q = new_vecs.astype(jnp.float32)
+    qn = query_norms(q, metric)
+    vectors = graph.vectors.at[p_ids].set(
+        jnp.where(valid[:, None], q, graph.vectors[p_ids])
+    )
+    norms = graph.norms.at[p_ids].set(jnp.where(valid, qn, graph.norms[p_ids]))
+    levels = graph.levels.at[p_ids].set(jnp.where(valid, new_levels, -1))
+
+    max_level_pre = graph.max_level
+    connect_start = jnp.minimum(new_levels, max_level_pre)  # [R]
+
+    # ---- descend + connect, one static pass over the layer stack
+    cur = jnp.broadcast_to(graph.entry, (r,)).astype(jnp.int32)
+    cur_d = dists_to_ids(vectors, norms, q, qn, cur[:, None], metric)[:, 0]
+    ep_ids = jnp.full((r, efc), -1, jnp.int32)
+    ep_d = jnp.full((r, efc), jnp.inf, jnp.float32)
+
+    adj0 = graph.adj0
+    adj_upper = graph.adj_upper
+
+    for level in range(l_max, -1, -1):
+        adj_l = adj0 if level == 0 else adj_upper[level - 1]
+        m_cap = m_max0 if level == 0 else m
+
+        if level >= 1:  # greedy descent through layers above connect_start
+            greedy_on = valid & (level > connect_start) & (level <= max_level_pre)
+            cur, cur_d = _greedy_level(
+                vectors, norms, adj_l, q, qn, cur, cur_d, greedy_on, metric
+            )
+
+        beam_on = valid & (level <= connect_start)
+        any_beam = True  # static layer loop; masking handles inactivity
+        if any_beam:
+            # seed the first connect layer's beam from the descent position
+            seeding = (level == connect_start)[:, None]
+            seed_ids = jnp.concatenate(
+                [cur[:, None], jnp.full((r, efc - 1), -1, jnp.int32)], axis=1
+            )
+            seed_d = jnp.concatenate(
+                [cur_d[:, None], jnp.full((r, efc - 1), jnp.inf)], axis=1
+            )
+            entry_ids = jnp.where(seeding, seed_ids, ep_ids)
+            entry_d = jnp.where(seeding, seed_d, ep_d)
+            entry_ids = jnp.where(beam_on[:, None], entry_ids, -1)
+            entry_d = jnp.where(beam_on[:, None], entry_d, INF)
+
+            w_ids, w_d = beam_search_layer(
+                vectors, norms, adj_l, q, qn, entry_ids, entry_d, efc, metric
+            )
+            ep_ids = jnp.where(beam_on[:, None], w_ids, ep_ids)
+            ep_d = jnp.where(beam_on[:, None], w_d, ep_d)
+
+            sel_ids, sel_d = select_neighbors(
+                vectors, norms, w_ids, w_d, m, metric, keep_pruned
+            )
+            adj_l = apply_edges(
+                adj_l,
+                vectors,
+                norms,
+                p_ids,
+                sel_ids,
+                sel_d,
+                beam_on,
+                m_cap,
+                rev_cap,
+                metric,
+                keep_pruned,
+                pad_row,
+            )
+            if level == 0:
+                adj0 = adj_l
+            else:
+                adj_upper = adj_upper.at[level - 1].set(adj_l)
+
+    # ---- entry point / max level (first-max ⇒ matches sequential ties)
+    lv = jnp.where(valid, new_levels, -1)
+    best = jnp.max(lv)
+    bi = jnp.argmax(lv)
+    raise_entry = best > max_level_pre
+    entry = jnp.where(raise_entry, p_ids[bi], graph.entry).astype(jnp.int32)
+    max_level = jnp.maximum(max_level_pre, best)
+
+    return GraphTensors(
+        vectors=vectors,
+        norms=norms,
+        adj0=adj0,
+        adj_upper=adj_upper,
+        levels=levels,
+        entry=entry,
+        max_level=max_level,
+        n=graph.n + count.astype(jnp.int32),
+        deleted=graph.deleted,
+    )
+
+
+# ---------------------------------------------------------------- bootstrap
+def bootstrap(graph: GraphTensors, vec, level: int, metric: str) -> GraphTensors:
+    """Insert the very first point (no search needed — empty graph)."""
+    q = jnp.asarray(vec, jnp.float32)[None, :]
+    qn = query_norms(q, metric)
+    return graph._replace(
+        vectors=graph.vectors.at[0].set(q[0]),
+        norms=graph.norms.at[0].set(qn[0]),
+        levels=graph.levels.at[0].set(level),
+        entry=jnp.int32(0),
+        max_level=jnp.int32(level),
+        n=jnp.int32(1),
+    )
+
+
+# ------------------------------------------------------------------- driver
+class BuildState:
+    """Host-side build driver: owns the RNG stream (level sampling is the only
+    randomness, SURVEY.md §4) and the doubling round schedule."""
+
+    def __init__(self, config: HnswConfig, max_elements: int,
+                 round_size: int = 1024):
+        self.config = config
+        self.round_size = round_size
+        # reserve headroom: one padded round may run past max_elements, and
+        # the last row is the scatter sink (pad_row) — never occupied
+        self.max_elements = max_elements
+        n_cap_target = max_elements + round_size + 1
+        self.graph = empty_graph(config, n_cap_target)
+        self.l_max = self.graph.l_max
+        self.rng = np.random.RandomState(config.seed)
+        self.rev_cap = min(2 * config.M, 64)
+
+    def prep(self, data: np.ndarray) -> np.ndarray:
+        data = np.asarray(data, dtype=np.float32)
+        if self.config.metric == "cosine":
+            nrm = np.linalg.norm(data, axis=1, keepdims=True)
+            data = data / np.where(nrm == 0, 1.0, nrm)
+        return data
+
+    def add(self, data: np.ndarray) -> None:
+        """Insert `data` (any count) via padded fixed-shape rounds."""
+        cfg = self.config
+        data = self.prep(data)
+        n_new = data.shape[0]
+        levels = sample_levels(self.rng, n_new, cfg.mL, self.l_max)
+        done = 0
+        while done < n_new:
+            n_cur = int(self.graph.n)
+            if n_cur == 0:
+                self.graph = bootstrap(
+                    self.graph, data[0], int(levels[0]), cfg.metric
+                )
+                done += 1
+                continue
+            # doubling schedule: never insert more than the snapshot size
+            count = min(self.round_size, n_new - done, max(n_cur, 1))
+            vecs = np.zeros((self.round_size, cfg.dim), np.float32)
+            lvls = np.zeros((self.round_size,), np.int32)
+            vecs[:count] = data[done : done + count]
+            lvls[:count] = levels[done : done + count]
+            self.graph = insert_round(
+                self.graph,
+                jnp.asarray(vecs),
+                jnp.asarray(lvls),
+                jnp.int32(n_cur),
+                jnp.int32(count),
+                efc=cfg.ef_construction,
+                m=cfg.M,
+                m_max0=cfg.M_max0,
+                rev_cap=self.rev_cap,
+                metric=cfg.metric,
+                keep_pruned=cfg.keep_pruned_connections,
+            )
+            done += count
+
+
+def build(data: np.ndarray, config: HnswConfig,
+          max_elements: int | None = None, round_size: int = 1024,
+          ) -> GraphTensors:
+    """Build a full index over `data` with batched parallel insertion."""
+    if config.extend_candidates:
+        raise NotImplementedError(
+            "extend_candidates is supported by the oracle only; the batched "
+            "builder implements the default Alg 4 path"
+        )
+    data = np.asarray(data, dtype=np.float32)
+    state = BuildState(config, max_elements or data.shape[0],
+                       round_size=round_size)
+    state.add(data)
+    return state.graph

@@ -1,0 +1,140 @@
+"""Batched device-build tests: graph invariants, oracle recall parity,
+determinism, incremental insertion (SURVEY.md §4, §7 step 4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ocaml_hnsw_tpu.config import HnswConfig
+from ocaml_hnsw_tpu.oracle import OracleHNSW, bruteforce_knn, recall
+from ocaml_hnsw_tpu.models import knn_search
+from ocaml_hnsw_tpu.models.build import build, BuildState, sample_levels
+from ocaml_hnsw_tpu.bench.datasets import clustered, queries_like
+
+CFG = HnswConfig(dim=24, M=8, ef_construction=60)
+
+
+@pytest.fixture(scope="module")
+def built():
+    data = clustered(1200, 24, n_clusters=24, seed=0)
+    g = build(data, CFG, round_size=128)
+    jax.block_until_ready(g.adj0)
+    return data, g
+
+
+class TestInvariants:
+    def test_degree_caps_and_no_dups(self, built):
+        data, g = built
+        n = int(g.n)
+        assert n == len(data)
+        adj0 = np.asarray(g.adj0)[:n]
+        assert ((adj0 >= 0).sum(1) <= CFG.M_max0).all()
+        for lv in range(g.l_max):
+            up = np.asarray(g.adj_upper[lv])[:n]
+            assert ((up >= 0).sum(1) <= CFG.M).all()
+        for i in range(n):
+            row = adj0[i][adj0[i] >= 0]
+            assert len(set(row.tolist())) == len(row)
+            assert i not in row
+            assert (row < n).all()
+
+    def test_levels_and_entry(self, built):
+        data, g = built
+        n = int(g.n)
+        levels = np.asarray(g.levels)
+        assert (levels[:n] >= 0).all()
+        assert (levels[n:] == -1).all()
+        assert int(g.max_level) == levels[:n].max()
+        assert levels[int(g.entry)] == int(g.max_level)
+        # edges only between nodes that exist at that layer
+        for lv in range(g.l_max):
+            up = np.asarray(g.adj_upper[lv])[:n]
+            owners = np.repeat(np.arange(n), up.shape[1])
+            flat = up.reshape(-1)
+            mask = flat >= 0
+            assert (levels[flat[mask]] >= lv + 1).all()
+            assert (levels[owners[mask]] >= lv + 1).all()
+
+    def test_level_stream_matches_oracle(self, built):
+        # determinism hook: device build consumes the same RNG stream as the
+        # sequential oracle (seeded level sampling is the only randomness)
+        data, g = built
+        o = OracleHNSW(CFG)
+        o.add_items(data)
+        n = int(g.n)
+        dev_levels = np.asarray(g.levels)[:n]
+        orc_levels = np.minimum(np.asarray(o.levels), g.l_max)
+        np.testing.assert_array_equal(dev_levels, orc_levels)
+
+
+class TestRecallParity:
+    def test_vs_oracle_and_bruteforce(self, built):
+        data, g = built
+        q = queries_like(data, 150, seed=1)
+        gt, _ = bruteforce_knn(data, q, 10, "l2")
+        ids, _ = knn_search(g, jnp.asarray(q), k=10, ef=48, metric="l2")
+        r_dev = recall(np.asarray(ids), gt)
+        o = OracleHNSW(CFG)
+        o.add_items(data)
+        r_orc = recall(o.knn_query(q, k=10, ef=48)[0], gt)
+        assert r_dev >= r_orc - 0.02, (r_dev, r_orc)
+        assert r_dev >= 0.9
+
+    def test_cosine_build(self):
+        cfg = HnswConfig(dim=16, metric="cosine", M=8, ef_construction=50)
+        data = clustered(600, 16, n_clusters=12, seed=3)
+        g = build(data, cfg, round_size=128)
+        q = queries_like(data, 60, seed=4)
+        gt, _ = bruteforce_knn(data, q, 10, "cosine")
+        ids, _ = knn_search(g, jnp.asarray(q), k=10, ef=48, metric="cosine")
+        assert recall(np.asarray(ids), gt) >= 0.9
+
+
+class TestDeterminism:
+    def test_same_seed_same_graph(self):
+        data = clustered(500, 16, n_clusters=10, seed=5)
+        cfg = HnswConfig(dim=16, M=8, ef_construction=40)
+        g1 = build(data, cfg, round_size=64)
+        g2 = build(data, cfg, round_size=64)
+        np.testing.assert_array_equal(np.asarray(g1.adj0), np.asarray(g2.adj0))
+        np.testing.assert_array_equal(
+            np.asarray(g1.adj_upper), np.asarray(g2.adj_upper)
+        )
+        assert int(g1.entry) == int(g2.entry)
+
+    def test_sample_levels_stream(self):
+        rng1 = np.random.RandomState(100)
+        a = sample_levels(rng1, 1000, 1 / np.log(16), 8)
+        rng2 = np.random.RandomState(100)
+        b1 = sample_levels(rng2, 400, 1 / np.log(16), 8)
+        b2 = sample_levels(rng2, 600, 1 / np.log(16), 8)
+        np.testing.assert_array_equal(a, np.concatenate([b1, b2]))
+
+
+class TestIncremental:
+    def test_two_phase_add(self):
+        cfg = HnswConfig(dim=16, M=8, ef_construction=40)
+        data = clustered(800, 16, n_clusters=16, seed=6)
+        st = BuildState(cfg, max_elements=800, round_size=64)
+        st.add(data[:500])
+        assert int(st.graph.n) == 500
+        st.add(data[500:])
+        assert int(st.graph.n) == 800
+        q = queries_like(data, 80, seed=7)
+        gt, _ = bruteforce_knn(data, q, 10, "l2")
+        ids, _ = knn_search(st.graph, jnp.asarray(q), k=10, ef=48, metric="l2")
+        assert recall(np.asarray(ids), gt) >= 0.9
+
+    def test_late_points_reachable(self):
+        # incremental points must get reverse edges into the old graph
+        cfg = HnswConfig(dim=8, M=8, ef_construction=40)
+        data = clustered(400, 8, n_clusters=8, seed=8)
+        st = BuildState(cfg, max_elements=400, round_size=64)
+        st.add(data[:300])
+        st.add(data[300:])
+        ids, dists = knn_search(
+            st.graph, jnp.asarray(data[300:]), k=1, ef=32, metric="l2"
+        )
+        found = (np.asarray(ids)[:, 0] == np.arange(300, 400)).mean()
+        assert found >= 0.95
