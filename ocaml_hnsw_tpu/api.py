@@ -1,0 +1,338 @@
+"""Public API — the reference's L3 layer (SURVEY.md §1) with the canonical
+hnswlib-shaped surface pinned in SURVEY.md (init_index / add_items / knn_query /
+set_ef / save_index / load_index / mark_deleted / resize_index), plus `BFIndex`,
+the exact brute-force companion index.
+
+The OCaml reference exposes a functor over DISTANCE/VALUE modules; the
+equivalent pluggability here is the metric registry ("l2", "ip", "cosine" —
+see ocaml_hnsw_tpu.ops.distance) chosen by the `space` argument.
+
+Batch shapes are padded to power-of-two buckets so jit compiles a bounded set
+of programs per (batch, k, ef).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ocaml_hnsw_tpu.config import HnswConfig, METRICS
+from ocaml_hnsw_tpu.models.build import BuildState
+from ocaml_hnsw_tpu.models.search import knn_search
+from ocaml_hnsw_tpu.models.graph import GraphTensors
+from ocaml_hnsw_tpu.utils import round_up
+from ocaml_hnsw_tpu import io as index_io
+
+
+def _pad_batch(n: int) -> int:
+    """Power-of-two batch buckets (floor 8) to bound jit recompiles."""
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
+class Index:
+    """TPU-native HNSW index with the canonical hnswlib-style surface."""
+
+    def __init__(self, space: str, dim: int):
+        if space not in METRICS:
+            raise ValueError(f"space must be one of {METRICS}, got {space!r}")
+        self.space = space
+        self.dim = dim
+        self._state: BuildState | None = None
+        self._labels = np.zeros((0,), dtype=np.int64)
+        self._label_to_id: dict[int, int] = {}
+        self.ef = 10
+
+    # ------------------------------------------------------------- lifecycle
+    def init_index(
+        self,
+        max_elements: int,
+        M: int = 16,
+        ef_construction: int = 200,
+        random_seed: int = 100,
+        round_size: int = 1024,
+        keep_pruned_connections: bool = False,
+        **_ignored,  # num_threads etc. accepted for source compatibility
+    ) -> None:
+        cfg = HnswConfig(
+            dim=self.dim,
+            metric=self.space,
+            M=M,
+            ef_construction=ef_construction,
+            seed=random_seed,
+            keep_pruned_connections=keep_pruned_connections,
+        )
+        self._state = BuildState(cfg, max_elements, round_size=round_size)
+
+    def _require_init(self) -> BuildState:
+        if self._state is None:
+            raise RuntimeError("call init_index (or load_index) first")
+        return self._state
+
+    @property
+    def config(self) -> HnswConfig:
+        return self._require_init().config
+
+    @property
+    def graph(self) -> GraphTensors:
+        return self._require_init().graph
+
+    # ------------------------------------------------------------- mutation
+    def add_items(self, data, ids=None, **_ignored) -> None:
+        st = self._require_init()
+        data = np.atleast_2d(np.asarray(data, dtype=np.float32))
+        if data.shape[1] != self.dim:
+            raise ValueError(f"expected dim {self.dim}, got {data.shape[1]}")
+        n_new = data.shape[0]
+        n_cur = int(st.graph.n)
+        if n_cur + n_new > st.max_elements:
+            raise RuntimeError(
+                f"index is full: {n_cur} + {n_new} > max_elements "
+                f"{st.max_elements}; call resize_index first"
+            )
+        if ids is None:
+            labels = np.arange(n_cur, n_cur + n_new, dtype=np.int64)
+        else:
+            labels = np.asarray(ids, dtype=np.int64).reshape(-1)
+            if labels.shape[0] != n_new:
+                raise ValueError("ids length must match data rows")
+        clash = [int(l) for l in labels if int(l) in self._label_to_id]
+        if clash:
+            raise ValueError(f"duplicate labels not supported: {clash[:5]}")
+        st.add(data)
+        for off, lab in enumerate(labels):
+            self._label_to_id[int(lab)] = n_cur + off
+        self._labels = np.concatenate([self._labels, labels])
+
+    def mark_deleted(self, label: int) -> None:
+        st = self._require_init()
+        iid = self._id_of(label)
+        st.graph = st.graph._replace(deleted=st.graph.deleted.at[iid].set(True))
+
+    def unmark_deleted(self, label: int) -> None:
+        st = self._require_init()
+        iid = self._id_of(label)
+        st.graph = st.graph._replace(deleted=st.graph.deleted.at[iid].set(False))
+
+    def resize_index(self, new_max_elements: int) -> None:
+        """Grow capacity in place (graph tensors are re-padded)."""
+        st = self._require_init()
+        if new_max_elements < int(st.graph.n):
+            raise ValueError("cannot shrink below current element count")
+        old = st.graph
+        new_state = BuildState(st.config, new_max_elements,
+                               round_size=st.round_size)
+        g = new_state.graph
+        n_cap_old, n_cap_new = old.n_cap, g.n_cap
+        if n_cap_new < n_cap_old:
+            raise ValueError("resize would shrink padded capacity")
+        grow = n_cap_new - n_cap_old
+
+        def pad2(a, fill):
+            widths = [(0, grow)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, widths, constant_values=fill)
+
+        l_grow = g.l_max - old.l_max
+        adj_upper = jnp.pad(
+            old.adj_upper, ((0, 0), (0, grow), (0, 0)), constant_values=-1
+        )
+        if l_grow > 0:
+            extra = jnp.full((l_grow, n_cap_new, old.adj_upper.shape[2]), -1,
+                             jnp.int32)
+            adj_upper = jnp.concatenate([adj_upper, extra], axis=0)
+        new_state.graph = GraphTensors(
+            vectors=pad2(old.vectors, 0.0),
+            norms=pad2(old.norms, 0.0),
+            adj0=pad2(old.adj0, -1),
+            adj_upper=adj_upper,
+            levels=pad2(old.levels, -1),
+            entry=old.entry,
+            max_level=old.max_level,
+            n=old.n,
+            deleted=pad2(old.deleted, False),
+        )
+        new_state.rng = st.rng  # continue the level-sampling stream
+        self._state = new_state
+
+    # --------------------------------------------------------------- queries
+    def set_ef(self, ef: int) -> None:
+        self.ef = int(ef)
+
+    def knn_query(self, data, k: int = 1, ef: int | None = None, **_ignored):
+        """Returns (labels i64[Q, k], dists f32[Q, k]); -1 label on padding."""
+        st = self._require_init()
+        if int(st.graph.n) == 0:
+            raise RuntimeError("index is empty")
+        data = np.atleast_2d(np.asarray(data, dtype=np.float32))
+        q_n = data.shape[0]
+        b = _pad_batch(q_n)
+        padded = np.zeros((b, self.dim), np.float32)
+        padded[:q_n] = data
+        ids, dists = knn_search(
+            st.graph,
+            jnp.asarray(padded),
+            k=k,
+            ef=max(ef if ef is not None else self.ef, k),
+            metric=self.space,
+        )
+        ids = np.asarray(ids)[:q_n]
+        dists = np.asarray(dists)[:q_n]
+        labels = np.where(ids >= 0, self._labels[np.maximum(ids, 0)], -1)
+        return labels.astype(np.int64), dists
+
+    # ------------------------------------------------------------ inspection
+    def get_current_count(self) -> int:
+        return int(self._require_init().graph.n)
+
+    def get_max_elements(self) -> int:
+        return self._require_init().max_elements
+
+    def get_ids_list(self) -> list[int]:
+        return self._labels.tolist()
+
+    def get_items(self, ids) -> np.ndarray:
+        st = self._require_init()
+        iids = np.array([self._id_of(l) for l in np.asarray(ids).reshape(-1)])
+        return np.asarray(st.graph.vectors)[iids]
+
+    def _id_of(self, label) -> int:
+        try:
+            return self._label_to_id[int(label)]
+        except KeyError:
+            raise KeyError(f"label {label} not in index") from None
+
+    # ----------------------------------------------------------- checkpoints
+    def save_index(self, path) -> None:
+        st = self._require_init()
+        index_io.save_index_file(
+            path, st.graph, st.config, self._labels,
+            rng_state=st.rng.get_state(), max_elements=st.max_elements,
+            ef=self.ef,
+        )
+
+    def load_index(self, path, max_elements: int | None = None) -> None:
+        (graph, config, labels, rng_state, saved_max,
+         ef) = index_io.load_index_file(path)
+        self.ef = ef
+        if config.metric != self.space or config.dim != self.dim:
+            raise ValueError(
+                f"index file is ({config.metric}, dim={config.dim}), this "
+                f"Index is ({self.space}, dim={self.dim})"
+            )
+        # round padding must stay inside the saved capacity headroom
+        round_size = max(1, min(1024, graph.n_cap - saved_max - 1))
+        st = BuildState(config, saved_max, round_size=round_size)
+        st.graph = graph
+        if rng_state is not None:
+            st.rng.set_state(rng_state)
+        self._state = st
+        self._labels = labels
+        self._label_to_id = {int(l): i for i, l in enumerate(labels)}
+        if max_elements is not None and max_elements > saved_max:
+            self.resize_index(max_elements)  # hnswlib resize-on-load
+
+
+class BFIndex:
+    """Exact brute-force index on device (hnswlib's BFIndex companion): the
+    whole distance computation is one [B, N] MXU matmul + top_k — both the
+    ground-truth generator for the recall harness (SURVEY.md §3.5) and the
+    honest baseline HNSW must beat."""
+
+    def __init__(self, space: str, dim: int):
+        if space not in METRICS:
+            raise ValueError(f"space must be one of {METRICS}, got {space!r}")
+        self.space = space
+        self.dim = dim
+        self._vectors: np.ndarray | None = None
+        self._labels = np.zeros((0,), dtype=np.int64)
+        self._deleted = np.zeros((0,), dtype=bool)
+        self.max_elements = 0
+
+    def init_index(self, max_elements: int, **_ignored) -> None:
+        self.max_elements = max_elements
+        self._vectors = np.zeros((0, self.dim), np.float32)
+
+    def add_items(self, data, ids=None) -> None:
+        if self._vectors is None:
+            raise RuntimeError("call init_index first")
+        data = np.atleast_2d(np.asarray(data, dtype=np.float32))
+        if self.space == "cosine":
+            nrm = np.linalg.norm(data, axis=1, keepdims=True)
+            data = data / np.where(nrm == 0, 1.0, nrm)
+        n_cur = self._vectors.shape[0]
+        if n_cur + data.shape[0] > self.max_elements:
+            raise RuntimeError("index is full")
+        if ids is None:
+            labels = np.arange(n_cur, n_cur + data.shape[0], dtype=np.int64)
+        else:
+            labels = np.asarray(ids, dtype=np.int64).reshape(-1)
+        self._vectors = np.concatenate([self._vectors, data])
+        self._labels = np.concatenate([self._labels, labels])
+        self._deleted = np.concatenate(
+            [self._deleted, np.zeros(data.shape[0], bool)]
+        )
+
+    def delete_vector(self, label: int) -> None:
+        self._deleted[np.where(self._labels == int(label))[0]] = True
+
+    def knn_query(self, data, k: int = 1, **_ignored):
+        if self._vectors is None or not self._vectors.shape[0]:
+            raise RuntimeError("index is empty")
+        data = np.atleast_2d(np.asarray(data, dtype=np.float32))
+        ids, d = _bf_knn(
+            jnp.asarray(self._vectors),
+            jnp.asarray(data),
+            jnp.asarray(self._deleted),
+            k=min(k, self._vectors.shape[0]),
+            metric=self.space,
+        )
+        ids, d = np.asarray(ids), np.asarray(d)
+        if ids.shape[1] < k:  # pad like the HNSW index does
+            pad = k - ids.shape[1]
+            ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+            d = np.pad(d, ((0, 0), (0, pad)), constant_values=np.inf)
+        labels = np.where(ids >= 0, self._labels[np.maximum(ids, 0)], -1)
+        return labels.astype(np.int64), d
+
+    def get_current_count(self) -> int:
+        return 0 if self._vectors is None else self._vectors.shape[0]
+
+    def save_index(self, path) -> None:
+        np.savez(path, vectors=self._vectors, labels=self._labels,
+                 deleted=self._deleted,
+                 max_elements=np.int64(self.max_elements))
+
+    def load_index(self, path, max_elements: int | None = None) -> None:
+        with np.load(path) as z:
+            self._vectors = np.asarray(z["vectors"])
+            self._labels = np.asarray(z["labels"])
+            self._deleted = np.asarray(z["deleted"])
+            self.max_elements = int(z["max_elements"])
+        if max_elements is not None:
+            self.max_elements = max(self.max_elements, max_elements)
+
+
+@partial(jax.jit, static_argnames=("k", "metric"))
+def _bf_knn(vectors, queries, deleted, k: int, metric: str):
+    from ocaml_hnsw_tpu.models.search import preprocess_queries
+    from ocaml_hnsw_tpu.ops.distance import query_norms
+
+    q = preprocess_queries(queries, metric)
+    dot = q @ vectors.T
+    if metric == "l2":
+        d = (
+            jnp.sum(vectors * vectors, axis=1)[None, :]
+            - 2.0 * dot
+            + query_norms(q, metric)[:, None]
+        )
+        d = jnp.maximum(d, 0.0)
+    else:
+        d = 1.0 - dot
+    d = jnp.where(deleted[None, :], jnp.inf, d)
+    neg, ids = jax.lax.top_k(-d, k)
+    return ids, -neg
