@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Headline benchmark: QPS/chip at recall@10 >= 0.95 on a SIFT1M-shaped
+synthetic dataset (no real datasets on this machine — BASELINE.md), printed as
+ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+vs_baseline is measured against the driver target of 100,000 QPS/chip
+(BASELINE.json north_star; the reference publishes no absolute numbers).
+
+Other configs: python bench.py --config {random10k,sift100k,sift1m,glove1m}
+"""
+
+import argparse
+import json
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CONFIGS = {
+    # name: (n, dim, metric, round_size, efc)
+    "random10k": (10_000, 128, "l2", 512, 64),       # BASELINE config 1 shape
+    "sift100k": (100_000, 128, "l2", 1024, 200),
+    "sift1m": (1_000_000, 128, "l2", 2048, 200),     # BASELINE config 2 shape
+    "glove1m": (1_183_514, 100, "cosine", 2048, 200),  # BASELINE config 3 shape
+}
+
+TARGET_QPS = 100_000.0  # BASELINE.json north_star
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="sift1m", choices=sorted(CONFIGS))
+    ap.add_argument("--queries", type=int, default=1000)
+    ap.add_argument("--qps-batch", type=int, default=4096)
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args()
+
+    from ocaml_hnsw_tpu.bench.harness import run_config
+
+    n, dim, metric, round_size, efc = CONFIGS[args.config]
+    result = run_config(
+        args.config,
+        n=n,
+        dim=dim,
+        metric=metric,
+        n_queries=args.queries,
+        round_size=round_size,
+        ef_construction=efc,
+        qps_batch=args.qps_batch,
+        verbose=not args.quiet,
+    )
+    line = {
+        "metric": f"QPS/chip at recall@10>={result['target_recall']} "
+                  f"({args.config} synthetic)",
+        "value": result["qps"],
+        "unit": "qps",
+        "vs_baseline": round(result["qps"] / TARGET_QPS, 4),
+        "recall": result["recall"],
+        "ef": result["ef"],
+        "build_vectors_per_second": result["build_vectors_per_second"],
+        "backend": result["backend"],
+    }
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()

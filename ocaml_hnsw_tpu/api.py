@@ -323,7 +323,8 @@ def _bf_knn(vectors, queries, deleted, k: int, metric: str):
     from ocaml_hnsw_tpu.ops.distance import query_norms
 
     q = preprocess_queries(queries, metric)
-    dot = q @ vectors.T
+    dot = jnp.einsum("bd,nd->bn", q, vectors,
+                     precision=jax.lax.Precision.HIGHEST)
     if metric == "l2":
         d = (
             jnp.sum(vectors * vectors, axis=1)[None, :]

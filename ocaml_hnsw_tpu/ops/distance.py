@@ -1,11 +1,19 @@
 """Batched distance computation — the TPU replacement for the reference's L0
 "vector storage & distance" layer (SURVEY.md §1): instead of one scalar
 `distance(a, b)` call per edge, every frontier expansion computes a whole
-[B, K] block of query↔neighbor distances as gathers + an MXU contraction.
+[B, K] block of query↔neighbor distances.
 
 Metric conventions match the oracle / hnswlib surface: "l2" = squared
 Euclidean, "ip" = 1 - <q, x>, "cosine" = 1 - <q̂, x̂> with vectors normalized
 at add/query time, making it identical to "ip" on-device.
+
+Precision note (load-bearing): TPU MXU matmuls on f32 inputs default to bf16
+multiply passes, whose ~0.4% relative error is larger than the gap between
+the 10th and 11th nearest neighbor on clustered data — it silently scrambles
+neighbor order (observed as a recall plateau on hardware, not on CPU).  The
+per-candidate l2 path therefore computes exact f32 (x−q)² on the VPU — the
+search is HBM-bandwidth-bound, so these FLOPs are free — and every remaining
+MXU contraction forces Precision.HIGHEST.
 """
 
 from __future__ import annotations
@@ -14,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 INF = jnp.float32(jnp.inf)
+HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def query_norms(q: jax.Array, metric: str) -> jax.Array:
@@ -33,18 +42,17 @@ def dists_to_ids(
 ) -> jax.Array:
     """Distances d(q_b, x_{ids[b,k]}) as f32[B, K]; +inf at sentinel slots.
 
-    l2 uses ||x||² - 2<q,x> + ||q||² so the only per-candidate work is the
-    gather plus one batched contraction (MXU); ip/cosine are a pure dot.
+    l2 uses exact VPU (x−q)² (see precision note above); ip/cosine use one
+    HIGHEST-precision contraction.
     """
+    del norms, qn  # kept in the signature: the int8 path uses them
     safe = jnp.maximum(ids, 0)
-    rows = vectors[safe]  # [B, K, D] gather
-    dot = jnp.einsum(
-        "bkd,bd->bk", rows, q, preferred_element_type=jnp.float32
-    )
+    rows = vectors[safe]  # [B, K, D] gather — the bandwidth-critical op
     if metric == "l2":
-        d = norms[safe] - 2.0 * dot + qn[:, None]
-        d = jnp.maximum(d, 0.0)
+        diff = rows - q[:, None, :]
+        d = jnp.sum(diff * diff, axis=-1)
     else:  # ip / cosine
+        dot = jnp.einsum("bkd,bd->bk", rows, q, precision=HIGHEST)
         d = 1.0 - dot
     return jnp.where(ids < 0, INF, d)
 
@@ -58,11 +66,10 @@ def pairwise_dists(
 
     Used by the vectorized select-neighbors heuristic (paper Alg 4), where the
     O(|C|·M) sequential distance loop becomes one small batched matmul
-    (SURVEY.md §7 step 4).
+    (SURVEY.md §7 step 4).  The [B,K,K,D] diff form would blow memory, so this
+    stays a matmul at HIGHEST precision.
     """
-    dot = jnp.einsum(
-        "bkd,bjd->bkj", x, x, preferred_element_type=jnp.float32
-    )
+    dot = jnp.einsum("bkd,bjd->bkj", x, x, precision=HIGHEST)
     if metric == "l2":
         d = x_norms[:, :, None] - 2.0 * dot + x_norms[:, None, :]
         return jnp.maximum(d, 0.0)

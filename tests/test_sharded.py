@@ -1,0 +1,82 @@
+"""Sharded-index tests on the CPU-simulated 8-device mesh (SURVEY.md §4:
+multi-node testing without a real cluster)."""
+
+import numpy as np
+import jax
+import pytest
+
+from ocaml_hnsw_tpu.parallel import ShardedIndex
+from ocaml_hnsw_tpu.parallel.sharded import make_mesh
+from ocaml_hnsw_tpu.oracle import bruteforce_knn, recall
+from ocaml_hnsw_tpu.bench.datasets import clustered, queries_like
+
+
+@pytest.fixture(scope="module")
+def sharded():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    data = clustered(1600, 16, n_clusters=32, seed=0)
+    idx = ShardedIndex(space="l2", dim=16, mesh=make_mesh(8))
+    idx.init_index(max_elements=2000, M=8, ef_construction=60, round_size=64)
+    idx.add_items(data)
+    return data, idx
+
+
+class TestShardedQuery:
+    def test_recall(self, sharded):
+        data, idx = sharded
+        assert idx.get_current_count() == 1600
+        q = queries_like(data, 100, seed=1)
+        gt, _ = bruteforce_knn(data, q, 10, "l2")
+        labels, dists = idx.knn_query(q, k=10, ef=48)
+        assert recall(labels, gt) >= 0.95
+        assert (np.diff(dists, axis=1) >= -1e-6).all()
+
+    def test_exact_self_hits(self, sharded):
+        data, idx = sharded
+        labels, dists = idx.knn_query(data[:32], k=1, ef=32)
+        assert (labels[:, 0] == np.arange(32)).all()
+        np.testing.assert_allclose(dists[:, 0], 0.0, atol=1e-4)
+
+    def test_merge_is_global(self, sharded):
+        # top-k must mix shards: with round-robin placement the true top-10 of
+        # a query will span several shards essentially always
+        data, idx = sharded
+        q = queries_like(data, 20, seed=2)
+        labels, _ = idx.knn_query(q, k=10, ef=64)
+        shards = labels % 8
+        assert (np.ptp(shards, axis=1) > 0).any()
+
+    def test_mark_deleted(self, sharded):
+        data, idx = sharded
+        labels, _ = idx.knn_query(data[5], k=1, ef=32)
+        assert labels[0, 0] == 5
+        idx.mark_deleted(5)
+        labels, _ = idx.knn_query(data[5], k=1, ef=32)
+        assert labels[0, 0] != 5
+
+
+class TestShardedIncremental:
+    def test_two_phase(self):
+        data = clustered(800, 8, n_clusters=16, seed=3)
+        idx = ShardedIndex(space="l2", dim=8, mesh=make_mesh(8))
+        idx.init_index(max_elements=1000, M=8, ef_construction=40,
+                       round_size=32)
+        idx.add_items(data[:500])
+        idx.add_items(data[500:])
+        assert idx.get_current_count() == 800
+        q = queries_like(data, 60, seed=4)
+        gt, _ = bruteforce_knn(data, q, 10, "l2")
+        labels, _ = idx.knn_query(q, k=10, ef=48)
+        assert recall(labels, gt) >= 0.9
+
+
+class TestMeshSizes:
+    @pytest.mark.parametrize("n_dev", [1, 2, 4])
+    def test_small_meshes(self, n_dev):
+        data = clustered(300, 8, n_clusters=8, seed=5)
+        idx = ShardedIndex(space="l2", dim=8, mesh=make_mesh(n_dev))
+        idx.init_index(max_elements=400, M=8, ef_construction=40,
+                       round_size=32)
+        idx.add_items(data)
+        labels, _ = idx.knn_query(data[:10], k=1, ef=32)
+        assert (labels[:, 0] == np.arange(10)).all()
