@@ -57,6 +57,7 @@ class Index:
         random_seed: int = 100,
         round_size: int = 1024,
         keep_pruned_connections: bool = False,
+        storage: str = "f32",
         **_ignored,  # num_threads etc. accepted for source compatibility
     ) -> None:
         cfg = HnswConfig(
@@ -66,6 +67,7 @@ class Index:
             ef_construction=ef_construction,
             seed=random_seed,
             keep_pruned_connections=keep_pruned_connections,
+            storage=storage,
         )
         self._state = BuildState(cfg, max_elements, round_size=round_size)
 
@@ -146,7 +148,8 @@ class Index:
                              jnp.int32)
             adj_upper = jnp.concatenate([adj_upper, extra], axis=0)
         new_state.graph = GraphTensors(
-            vectors=pad2(old.vectors, 0.0),
+            vectors=pad2(old.vectors, 0),
+            scales=pad2(old.scales, 1.0),
             norms=pad2(old.norms, 0.0),
             adj0=pad2(old.adj0, -1),
             adj_upper=adj_upper,

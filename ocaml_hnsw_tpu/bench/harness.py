@@ -41,18 +41,22 @@ def device_ground_truth(data: np.ndarray, queries: np.ndarray, k: int,
 def measure_qps(graph, queries: np.ndarray, k: int, ef: int, metric: str,
                 batch: int = 4096, warmup: int = 1, reps: int = 3) -> float:
     """Throughput of the batched search at a fixed ef (queries tiled to fill
-    whole batches; jit warmed up first)."""
+    whole batches; jit warmed up first).
+
+    Timing note: through the axon tunnel `block_until_ready` does NOT actually
+    synchronize, so each measured call fetches one scalar to host — the TPU
+    stream is in-order, so the fetch syncs everything enqueued before it."""
     q = queries
     while q.shape[0] < batch:
         q = np.concatenate([q, q])
     q = jnp.asarray(q[:batch])
     for _ in range(warmup):
         ids, _ = knn_search(graph, q, k=k, ef=ef, metric=metric)
-        jax.block_until_ready(ids)
+        np.asarray(ids[0, 0])
     t0 = time.perf_counter()
     for _ in range(reps):
         ids, _ = knn_search(graph, q, k=k, ef=ef, metric=metric)
-        jax.block_until_ready(ids)
+    np.asarray(ids[0, 0])  # one sync at the end; stream is in-order
     dt = time.perf_counter() - t0
     return batch * reps / dt
 

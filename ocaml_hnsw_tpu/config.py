@@ -12,6 +12,7 @@ import dataclasses
 import math
 
 METRICS = ("l2", "ip", "cosine")
+STORAGES = ("f32", "bf16", "int8")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -34,6 +35,11 @@ class HnswConfig:
       max_level_cap: static upper bound on the layer stack height; needed by the
         TPU engine for a static adjacency tensor stack.  None = derived from
         max_elements at index creation.
+      storage: on-device dtype of the vector store — "f32" (exact), "bf16"
+        (2× less gather bandwidth), or "int8" (4× less; symmetric per-vector
+        quantization — the quantized-distance path of BASELINE config 4).
+        The search is HBM-gather-bound, so storage dtype is the main QPS
+        lever; distances are always accumulated in f32.
     """
 
     dim: int
@@ -46,10 +52,15 @@ class HnswConfig:
     extend_candidates: bool = False
     keep_pruned_connections: bool = False
     max_level_cap: int | None = None
+    storage: str = "f32"
 
     def __post_init__(self):
         if self.metric not in METRICS:
             raise ValueError(f"metric must be one of {METRICS}, got {self.metric!r}")
+        if self.storage not in STORAGES:
+            raise ValueError(
+                f"storage must be one of {STORAGES}, got {self.storage!r}"
+            )
         if self.M < 2:
             raise ValueError("M must be >= 2")
         if self.M_max0 is None:

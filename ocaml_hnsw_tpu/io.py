@@ -32,6 +32,7 @@ def save_index_file(path, graph: GraphTensors, config: HnswConfig,
     }
     arrays = {
         "vectors": np.asarray(graph.vectors),
+        "scales": np.asarray(graph.scales),
         "norms": np.asarray(graph.norms),
         "adj0": np.asarray(graph.adj0),
         "adj_upper": np.asarray(graph.adj_upper),
@@ -65,6 +66,7 @@ def load_index_file(path):
         config = HnswConfig(**meta["config"])
         graph = GraphTensors(
             vectors=jnp.asarray(z["vectors"]),
+            scales=jnp.asarray(z["scales"]),
             norms=jnp.asarray(z["norms"]),
             adj0=jnp.asarray(z["adj0"]),
             adj_upper=jnp.asarray(z["adj_upper"]),

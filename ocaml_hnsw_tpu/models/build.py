@@ -34,13 +34,19 @@ import jax.numpy as jnp
 
 from ocaml_hnsw_tpu.config import HnswConfig
 from ocaml_hnsw_tpu.models.graph import GraphTensors, empty_graph, capacity
-from ocaml_hnsw_tpu.models.search import beam_search_layer, _greedy_level
+from ocaml_hnsw_tpu.models.search import (
+    beam_search_layer,
+    _greedy_level,
+    pick_visited_bits,
+)
 from ocaml_hnsw_tpu.ops.distance import (
     dists_to_ids,
+    gather_dequant,
     pairwise_dists,
     query_norms,
     INF,
 )
+from ocaml_hnsw_tpu.ops.quantize import quantize_rows
 
 
 # --------------------------------------------------------------------- levels
@@ -99,12 +105,12 @@ def compact_by_mask(ids, d, mask, m: int):
     return out_ids, out_d
 
 
-def select_neighbors(vectors, norms, w_ids, w_d, m: int, metric: str,
+def select_neighbors(vectors, scales, norms, w_ids, w_d, m: int, metric: str,
                      keep_pruned: bool):
     """Alg 4 over beam results (sorted ascending).  Returns ids/d [B, m]."""
     valid = w_ids >= 0
     safe = jnp.maximum(w_ids, 0)
-    cvec = vectors[safe]
+    cvec = gather_dequant(vectors, scales, w_ids)
     cnorm = norms[safe]
     pair = pairwise_dists(cvec, cnorm, metric)
     sel = heuristic_admit(w_d, pair, valid, m, keep_pruned)
@@ -115,6 +121,7 @@ def select_neighbors(vectors, norms, w_ids, w_d, m: int, metric: str,
 def apply_edges(
     adj,  # i32[N_cap, m_cap] one layer's adjacency
     vectors,
+    scales,
     norms,
     p_ids,  # i32[R] new point ids (unique)
     sel_ids,  # i32[R, M] chosen neighbors (-1 padded)
@@ -173,10 +180,11 @@ def apply_edges(
     overflow = jnp.sum(cvalid, axis=1) > m_cap
 
     # append path: old entries first, then the new ones, packed
-    evec = vectors[aff]
+    evec = gather_dequant(vectors, scales, aff[:, None])[:, 0, :]
     enorm = norms[aff]
     dcomb = dists_to_ids(
-        vectors, norms, evec, enorm, jnp.where(cvalid, combined, -1), metric
+        vectors, scales, norms, evec, enorm,
+        jnp.where(cvalid, combined, -1), metric
     )
     app_ids, _ = compact_by_mask(combined, dcomb, cvalid, m_cap)
 
@@ -185,7 +193,7 @@ def apply_edges(
     sc_ids = jnp.take_along_axis(combined, ord2, axis=1)
     sc_d = jnp.take_along_axis(dcomb, ord2, axis=1)
     sc_valid = sc_ids >= 0
-    svec = vectors[jnp.maximum(sc_ids, 0)]
+    svec = gather_dequant(vectors, scales, sc_ids)
     snorm = norms[jnp.maximum(sc_ids, 0)]
     pair2 = pairwise_dists(svec, snorm, metric)
     sel2 = heuristic_admit(sc_d, pair2, sc_valid, m_cap, keep_pruned)
@@ -199,7 +207,10 @@ def apply_edges(
 # ------------------------------------------------------------- insert round
 @partial(
     jax.jit,
-    static_argnames=("efc", "m", "m_max0", "rev_cap", "metric", "keep_pruned"),
+    static_argnames=(
+        "efc", "efc_upper", "m", "m_max0", "rev_cap", "metric",
+        "keep_pruned", "storage",
+    ),
 )
 def insert_round(
     graph: GraphTensors,
@@ -214,6 +225,8 @@ def insert_round(
     rev_cap: int,
     metric: str,
     keep_pruned: bool,
+    storage: str = "f32",
+    efc_upper: int | None = None,
 ) -> GraphTensors:
     """One fully-batched insertion round (Alg 1 for R points against the
     pre-round snapshot).  R is static; real rounds are padded to R and masked
@@ -222,6 +235,11 @@ def insert_round(
     n_cap = graph.n_cap
     l_max = graph.l_max
     pad_row = n_cap - 1
+    # Upper layers hold ~N/M^l nodes and only route; a narrow beam there loses
+    # nothing (selection still picks m of efc_upper) and the lockstep
+    # while_loop converges in ~2·ef/expand iterations instead of 2·efc/expand.
+    if efc_upper is None:
+        efc_upper = min(efc, max(2 * m, 32))
 
     p_ids = (start + jnp.arange(r, dtype=jnp.int32)).astype(jnp.int32)
     valid = jnp.arange(r) < count
@@ -229,10 +247,17 @@ def insert_round(
     # ---- place vectors / norms / levels (slots are unoccupied ⇒ safe)
     q = new_vecs.astype(jnp.float32)
     qn = query_norms(q, metric)
+    qrows, qscales, qnorms_store = quantize_rows(q, storage)
     vectors = graph.vectors.at[p_ids].set(
-        jnp.where(valid[:, None], q, graph.vectors[p_ids])
+        jnp.where(valid[:, None], qrows, graph.vectors[p_ids])
     )
-    norms = graph.norms.at[p_ids].set(jnp.where(valid, qn, graph.norms[p_ids]))
+    scales = graph.scales.at[p_ids].set(
+        jnp.where(valid, qscales, graph.scales[p_ids])
+    )
+    norms_store = qnorms_store if metric == "l2" else jnp.zeros_like(qnorms_store)
+    norms = graph.norms.at[p_ids].set(
+        jnp.where(valid, norms_store, graph.norms[p_ids])
+    )
     levels = graph.levels.at[p_ids].set(jnp.where(valid, new_levels, -1))
 
     max_level_pre = graph.max_level
@@ -240,9 +265,11 @@ def insert_round(
 
     # ---- descend + connect, one static pass over the layer stack
     cur = jnp.broadcast_to(graph.entry, (r,)).astype(jnp.int32)
-    cur_d = dists_to_ids(vectors, norms, q, qn, cur[:, None], metric)[:, 0]
-    ep_ids = jnp.full((r, efc), -1, jnp.int32)
-    ep_d = jnp.full((r, efc), jnp.inf, jnp.float32)
+    cur_d = dists_to_ids(
+        vectors, scales, norms, q, qn, cur[:, None], metric
+    )[:, 0]
+    ep_ids = jnp.full((r, efc_upper), -1, jnp.int32)
+    ep_d = jnp.full((r, efc_upper), jnp.inf, jnp.float32)
 
     adj0 = graph.adj0
     adj_upper = graph.adj_upper
@@ -254,7 +281,8 @@ def insert_round(
         if level >= 1:  # greedy descent through layers above connect_start
             greedy_on = valid & (level > connect_start) & (level <= max_level_pre)
             cur, cur_d = _greedy_level(
-                vectors, norms, adj_l, q, qn, cur, cur_d, greedy_on, metric
+                vectors, scales, norms, adj_l, q, qn, cur, cur_d, greedy_on,
+                metric
             )
 
         beam_on = valid & (level <= connect_start)
@@ -263,28 +291,34 @@ def insert_round(
             # seed the first connect layer's beam from the descent position
             seeding = (level == connect_start)[:, None]
             seed_ids = jnp.concatenate(
-                [cur[:, None], jnp.full((r, efc - 1), -1, jnp.int32)], axis=1
+                [cur[:, None], jnp.full((r, efc_upper - 1), -1, jnp.int32)],
+                axis=1,
             )
             seed_d = jnp.concatenate(
-                [cur_d[:, None], jnp.full((r, efc - 1), jnp.inf)], axis=1
+                [cur_d[:, None], jnp.full((r, efc_upper - 1), jnp.inf)], axis=1
             )
             entry_ids = jnp.where(seeding, seed_ids, ep_ids)
             entry_d = jnp.where(seeding, seed_d, ep_d)
             entry_ids = jnp.where(beam_on[:, None], entry_ids, -1)
             entry_d = jnp.where(beam_on[:, None], entry_d, INF)
 
+            ef_l = efc if level == 0 else efc_upper
             w_ids, w_d = beam_search_layer(
-                vectors, norms, adj_l, q, qn, entry_ids, entry_d, efc, metric
+                vectors, scales, norms, adj_l, q, qn, entry_ids, entry_d,
+                ef_l, metric, expand=4,
+                visited_bits=pick_visited_bits(n_cap, ef_l, adj_l.shape[1]),
             )
-            ep_ids = jnp.where(beam_on[:, None], w_ids, ep_ids)
-            ep_d = jnp.where(beam_on[:, None], w_d, ep_d)
+            if level > 0:
+                ep_ids = jnp.where(beam_on[:, None], w_ids, ep_ids)
+                ep_d = jnp.where(beam_on[:, None], w_d, ep_d)
 
             sel_ids, sel_d = select_neighbors(
-                vectors, norms, w_ids, w_d, m, metric, keep_pruned
+                vectors, scales, norms, w_ids, w_d, m, metric, keep_pruned
             )
             adj_l = apply_edges(
                 adj_l,
                 vectors,
+                scales,
                 norms,
                 p_ids,
                 sel_ids,
@@ -311,6 +345,7 @@ def insert_round(
 
     return GraphTensors(
         vectors=vectors,
+        scales=scales,
         norms=norms,
         adj0=adj0,
         adj_upper=adj_upper,
@@ -323,13 +358,17 @@ def insert_round(
 
 
 # ---------------------------------------------------------------- bootstrap
-def bootstrap(graph: GraphTensors, vec, level: int, metric: str) -> GraphTensors:
+def bootstrap(graph: GraphTensors, vec, level: int, metric: str,
+              storage: str = "f32") -> GraphTensors:
     """Insert the very first point (no search needed — empty graph)."""
     q = jnp.asarray(vec, jnp.float32)[None, :]
-    qn = query_norms(q, metric)
+    qrows, qscales, qnorms = quantize_rows(q, storage)
+    if metric != "l2":
+        qnorms = jnp.zeros_like(qnorms)
     return graph._replace(
-        vectors=graph.vectors.at[0].set(q[0]),
-        norms=graph.norms.at[0].set(qn[0]),
+        vectors=graph.vectors.at[0].set(qrows[0]),
+        scales=graph.scales.at[0].set(qscales[0]),
+        norms=graph.norms.at[0].set(qnorms[0]),
         levels=graph.levels.at[0].set(level),
         entry=jnp.int32(0),
         max_level=jnp.int32(level),
@@ -353,7 +392,11 @@ class BuildState:
         self.graph = empty_graph(config, n_cap_target)
         self.l_max = self.graph.l_max
         self.rng = np.random.RandomState(config.seed)
-        self.rev_cap = min(2 * config.M, 64)
+        # reverse-edge candidates kept per target per round: the shrink
+        # heuristic's pairwise matmul is O((m_cap + rev_cap)^2) per affected
+        # row, and >M new back-edges landing on one node in one round is rare;
+        # nearest-M semantics keep the drop deterministic.
+        self.rev_cap = max(8, config.M)
 
     def prep(self, data: np.ndarray) -> np.ndarray:
         data = np.asarray(data, dtype=np.float32)
@@ -373,7 +416,8 @@ class BuildState:
             n_cur = int(self.graph.n)
             if n_cur == 0:
                 self.graph = bootstrap(
-                    self.graph, data[0], int(levels[0]), cfg.metric
+                    self.graph, data[0], int(levels[0]), cfg.metric,
+                    storage=cfg.storage,
                 )
                 done += 1
                 continue
@@ -395,6 +439,7 @@ class BuildState:
                 rev_cap=self.rev_cap,
                 metric=cfg.metric,
                 keep_pruned=cfg.keep_pruned_connections,
+                storage=cfg.storage,
             )
             done += count
 

@@ -26,8 +26,14 @@ from ocaml_hnsw_tpu.utils import round_up, pad_to
 class GraphTensors(NamedTuple):
     """The whole index as arrays.  Shapes use N_cap = padded capacity.
 
-    vectors:   f32[N_cap, D] (cosine: rows pre-normalized; padding rows zero)
-    norms:     f32[N_cap]    precomputed ||x||² (zeros for ip/cosine)
+    vectors:   [N_cap, D] in the configured storage dtype — f32 (default),
+               bf16, or int8 (symmetric per-vector quantization; the int8
+               distance path is BASELINE config 4).  The dtype selects the
+               distance path in ops/distance.py.  cosine rows pre-normalized
+               (before quantization); padding rows zero.
+    scales:    f32[N_cap]    per-vector dequant scale (ones for f32/bf16)
+    norms:     f32[N_cap]    ||x̂||² of the *dequantized* vector (zeros for
+               ip/cosine) so l2 matmul-form paths stay consistent
     adj0:      i32[N_cap, M_max0]        layer-0 adjacency, -1 padded
     adj_upper: i32[L_max, N_cap, M_max]  layers 1..L_max, -1 padded
     levels:    i32[N_cap]    node level; -1 marks an unoccupied slot
@@ -38,6 +44,7 @@ class GraphTensors(NamedTuple):
     """
 
     vectors: jnp.ndarray
+    scales: jnp.ndarray
     norms: jnp.ndarray
     adj0: jnp.ndarray
     adj_upper: jnp.ndarray
@@ -66,10 +73,13 @@ def capacity(max_elements: int) -> int:
 
 
 def empty_graph(config: HnswConfig, max_elements: int) -> GraphTensors:
+    from ocaml_hnsw_tpu.ops.quantize import storage_dtype
+
     n_cap = capacity(max_elements)
     l_max = config.derived_max_level(max_elements)
     return GraphTensors(
-        vectors=jnp.zeros((n_cap, config.dim), jnp.float32),
+        vectors=jnp.zeros((n_cap, config.dim), storage_dtype(config.storage)),
+        scales=jnp.ones((n_cap,), jnp.float32),
         norms=jnp.zeros((n_cap,), jnp.float32),
         adj0=jnp.full((n_cap, config.M_max0), -1, jnp.int32),
         adj_upper=jnp.full((l_max, n_cap, config.M), -1, jnp.int32),
@@ -89,11 +99,16 @@ def from_oracle(oracle, max_elements: int | None = None) -> GraphTensors:
     l_max = cfg.derived_max_level(max_elements or max(n, 2))
     d = cfg.dim
 
-    vectors = np.zeros((n_cap, d), np.float32)
+    from ocaml_hnsw_tpu.ops.quantize import quantize_rows, storage_dtype
+
+    vectors_f = np.zeros((n_cap, d), np.float32)
     if n:
-        vectors[:n] = np.stack(oracle.vectors)
+        vectors_f[:n] = np.stack(oracle.vectors)
+    qrows, qscales, qnorms = quantize_rows(jnp.asarray(vectors_f), cfg.storage)
+    vectors = np.asarray(qrows)
+    scales = np.asarray(qscales)
     if cfg.metric == "l2":
-        norms = np.sum(vectors * vectors, axis=1, dtype=np.float32)
+        norms = np.asarray(qnorms)
     else:
         norms = np.zeros((n_cap,), np.float32)
 
@@ -114,6 +129,7 @@ def from_oracle(oracle, max_elements: int | None = None) -> GraphTensors:
 
     return GraphTensors(
         vectors=jnp.asarray(vectors),
+        scales=jnp.asarray(scales),
         norms=jnp.asarray(norms),
         adj0=jnp.asarray(adj0),
         adj_upper=jnp.asarray(adj_upper),

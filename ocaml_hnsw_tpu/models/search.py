@@ -6,30 +6,39 @@ adjacency pointers, and pushes survivors back (SURVEY.md §3.3).  Here, B querie
 advance together under one `lax.while_loop`:
 
   per iteration (SURVEY.md §7 step 2, "batched frontier expansion"):
-    1. each query selects its nearest *unexpanded* beam entry (masked argmin —
-       replaces the candidate min-heap pop),
-    2. gathers that node's adjacency row (i32[B, deg] — replaces pointer chase),
-    3. filters by a dense visited bitset (test + scatter-or set),
-    4. computes the [B, deg] distance block as gathers + one MXU contraction,
+    1. each query selects its E nearest *unexpanded* beam entries (masked
+       top-k — replaces the candidate min-heap pop; E = expand width),
+    2. gathers those nodes' adjacency rows (i32[B, E·deg] — replaces the
+       pointer chase),
+    3. filters by a dense visited bitset (test + scatter-or set; hashed to a
+       small per-query bitmap at scale — see ops/bitset.py),
+    4. computes the [B, E·deg] distance block (gather + exact VPU f32),
     5. merges candidates into the beam with `lax.top_k` (replaces both heaps).
 
-  A query whose beam is fully expanded simply stops contributing work; the loop
-  ends when every query converges (beam divergence is amortized across the
-  batch — SURVEY.md §7 "hard parts").
+  A query whose beam is fully expanded stops contributing work; the loop ends
+  when every query converges (beam divergence is amortized across the batch —
+  SURVEY.md §7 "hard parts").
 
-Beam semantics: this is the bounded best-first variant (beam of ef, expand
-nearest unexpanded member).  Paper Alg 2 additionally keeps already-evicted
-candidates in its heap, but never expands one that is farther than the current
-ef-th best — the same stopping frontier — so recall matches the sequential
-oracle at equal (M, ef); parity is enforced by tests/test_search.py.
+Performance shape (measured on v5e): the loop is HBM-bound — vector-row
+gathers plus the per-iteration copy XLA makes of the visited buffer (scatters
+in a while_loop are not aliased).  Multi-expand divides the iteration count
+and therefore the copies; the hashed bitmap divides the copied bytes.
 
-Upper layers use pure greedy descent (Alg 5's ef=1 loop).  Greedy moves only on
-strict improvement, so no visited set is needed there (distance strictly
-decreases ⇒ no cycles) — saving a full bitset clear per layer.
+Beam semantics: bounded best-first (beam of ef, expand nearest unexpanded).
+Paper Alg 2 additionally keeps already-evicted candidates in its heap but
+never expands one farther than the current ef-th best — the same stopping
+frontier — so recall matches the sequential oracle at equal (M, ef); parity
+is enforced by tests/test_search.py.  Expand width E>1 expands a few more
+nodes than Alg 2 would (equal-or-better recall per ef, more distance evals).
+
+Upper layers use pure greedy descent (Alg 5's ef=1 loop).  Greedy moves only
+on strict improvement, so no visited set is needed there (distance strictly
+decreases ⇒ no cycles) — saving a bitmap clear per layer.
 """
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -42,15 +51,35 @@ from ocaml_hnsw_tpu.ops.bitset import (
     bitset_test,
     bitset_set,
     first_occurrence_mask,
+    hash_ids,
 )
+from ocaml_hnsw_tpu.ops.sortmerge import merge_into_beam
 
 
-def _greedy_level(vectors, norms, adj, q, qn, cur, cur_d, enabled, metric):
-    """One layer of greedy ef=1 descent for B queries (Alg 5 upper loop).
+def pick_visited_bits(n_cap: int, ef: int, deg: int) -> int | None:
+    """Auto-choose the visited representation: exact bitset for small indexes,
+    hashed 2^b bitmap once exact would be larger.
 
-    adj: i32[N_cap, deg] for this layer.  Returns (cur, cur_d) moved to the
-    local minimum reachable by strictly-improving steps.
-    """
+    Sizing: distinct visited nodes ≈ expansions·deg·fresh ≈ 1.2·ef·deg, so
+    b = log2(ef·deg·96) gives a ~1% collision (false-skip) rate — the recall
+    cost is far below the noise of ±1 ef step, and the bitmap (2^b/8 bytes per
+    query) is what keeps the while_loop's unavoidable buffer copy affordable."""
+    target = max(ef * deg * 96, 1 << 16)
+    b = min(max(int(math.ceil(math.log2(target))), 16), 21)
+    if n_cap <= (1 << b):
+        return None  # exact is smaller (or equal) and has no collisions
+    return b
+
+
+def _visit_idx(ids, visited_bits: int | None):
+    """Index into the visited bitmap for each id (identity or hashed)."""
+    if visited_bits is None:
+        return jnp.maximum(ids, 0)
+    return hash_ids(ids, visited_bits)
+
+
+def _greedy_level(vectors, scales, norms, adj, q, qn, cur, cur_d, enabled, metric):
+    """One layer of greedy ef=1 descent for B queries (Alg 5 upper loop)."""
 
     def cond(state):
         _, _, active = state
@@ -60,7 +89,7 @@ def _greedy_level(vectors, norms, adj, q, qn, cur, cur_d, enabled, metric):
         cur, cur_d, active = state
         nbrs = adj[jnp.maximum(cur, 0)]  # [B, deg]
         nbrs = jnp.where(active[:, None], nbrs, -1)
-        d = dists_to_ids(vectors, norms, q, qn, nbrs, metric)
+        d = dists_to_ids(vectors, scales, norms, q, qn, nbrs, metric)
         bi = jnp.argmin(d, axis=1)
         bd = jnp.take_along_axis(d, bi[:, None], axis=1)[:, 0]
         bid = jnp.take_along_axis(nbrs, bi[:, None], axis=1)[:, 0]
@@ -77,6 +106,7 @@ def _greedy_level(vectors, norms, adj, q, qn, cur, cur_d, enabled, metric):
 
 def beam_search_layer(
     vectors,
+    scales,
     norms,
     adj,  # i32[N_cap, deg] adjacency of the layer being searched
     q,  # f32[B, D]
@@ -86,19 +116,24 @@ def beam_search_layer(
     ef: int,
     metric: str,
     max_iters: int | None = None,
+    expand: int = 1,
+    visited_bits: int | None = None,
 ):
     """Beam search one layer for B queries; returns (ids, d): i32/f32[B, ef],
     sorted ascending by distance, -1/+inf padded."""
     b = q.shape[0]
     n_cap = vectors.shape[0]
     e0 = entry_ids.shape[1]
+    expand = max(1, min(expand, ef))
+    n_bits = n_cap if visited_bits is None else (1 << visited_bits)
 
-    # Entries may repeat across queries' E0 slots; dedup within row.
-    uniq = first_occurrence_mask(entry_ids) & (entry_ids >= 0)
+    # Entries may repeat within a row (and distinct ids may collide in hash
+    # space); dedup on the *visit index* so the scatter-OR stays exact.
+    vidx = _visit_idx(entry_ids, visited_bits)
+    uniq = first_occurrence_mask(vidx) & (entry_ids >= 0)
     entry_ids = jnp.where(uniq, entry_ids, -1)
     entry_d = jnp.where(uniq, entry_d, INF)
-
-    visited = bitset_set(bitset_new(b, n_cap), entry_ids, uniq)
+    visited = bitset_set(bitset_new(b, n_bits), vidx, uniq)
 
     # Initial beam = best ef of the (padded) entries.
     pad = max(ef - e0, 0)
@@ -109,6 +144,8 @@ def beam_search_layer(
     beam_ids = jnp.take_along_axis(all_ids, idx, axis=1)
     beam_exp = beam_ids < 0  # sentinels count as already expanded
 
+    rows = jnp.arange(b)
+
     def cond(state):
         _, _, beam_exp, _, it = state
         live = jnp.any(~beam_exp)
@@ -118,35 +155,44 @@ def beam_search_layer(
 
     def body(state):
         beam_ids, beam_d, beam_exp, visited, it = state
-        # 1. select nearest unexpanded beam member per query (heap-pop analog)
-        sel_d = jnp.where(beam_exp, INF, beam_d)
-        sel = jnp.argmin(sel_d, axis=1)  # [B]
-        active = jnp.take_along_axis(sel_d, sel[:, None], axis=1)[:, 0] < INF
-        node = jnp.take_along_axis(beam_ids, sel[:, None], axis=1)[:, 0]
-        beam_exp = beam_exp.at[jnp.arange(b), sel].set(True)
+        # 1. pop the E nearest unexpanded beam members per query.  The beam is
+        #    kept sorted ascending, so "first E unexpanded" (a cumsum mask —
+        #    no sort, no scatter) IS "E nearest unexpanded".
+        unexp = ~beam_exp
+        slot = jnp.cumsum(unexp.astype(jnp.int32), axis=1)
+        sel_mask = unexp & (slot <= expand)
+        beam_exp = beam_exp | sel_mask
+        oh = sel_mask[:, None, :] & (
+            slot[:, None, :] == jnp.arange(1, expand + 1)[None, :, None]
+        )  # [B, E, ef] one-hot of the e-th selected position
+        pos = jnp.argmax(oh, axis=2)
+        active = jnp.any(oh, axis=2)
+        nodes = jnp.where(
+            active, jnp.take_along_axis(beam_ids, pos, axis=1), -1
+        )  # [B, E]
         # 2. frontier expansion: adjacency gather
-        nbrs = adj[jnp.maximum(node, 0)]  # [B, deg]
-        nbrs = jnp.where(active[:, None], nbrs, -1)
-        # 3. visited filter + mark
+        nbrs = adj[jnp.maximum(nodes, 0)]  # [B, E, deg]
+        nbrs = jnp.where((nodes >= 0)[:, :, None], nbrs, -1).reshape(b, -1)
+        # 3. visited filter + mark (dedup on visit index)
+        nvidx = _visit_idx(nbrs, visited_bits)
         fresh = (
-            (nbrs >= 0) & ~bitset_test(visited, nbrs) & first_occurrence_mask(nbrs)
+            (nbrs >= 0)
+            & ~bitset_test(visited, nvidx, nbrs >= 0)
+            & first_occurrence_mask(jnp.where(nbrs >= 0, nvidx, -1))
         )
-        visited = bitset_set(visited, nbrs, fresh)
+        visited = bitset_set(visited, nvidx, fresh)
         cand_ids = jnp.where(fresh, nbrs, -1)
-        # 4. distance block (gather + MXU contraction)
-        cand_d = dists_to_ids(vectors, norms, q, qn, cand_ids, metric)
-        # 5. beam merge via top-k (replaces both heaps)
-        m_ids = jnp.concatenate([beam_ids, cand_ids], axis=1)
-        m_d = jnp.concatenate([beam_d, cand_d], axis=1)
-        m_exp = jnp.concatenate([beam_exp, ~fresh], axis=1)
-        neg, idx = jax.lax.top_k(-m_d, ef)
-        return (
-            jnp.take_along_axis(m_ids, idx, axis=1),
-            -neg,
-            jnp.take_along_axis(m_exp, idx, axis=1),
-            visited,
-            it + 1,
+        # 4. distance block (gather + exact VPU f32)
+        cand_d = dists_to_ids(vectors, scales, norms, q, qn, cand_ids, metric)
+        # 5. beam merge: bitonic network (top_k has a ms-scale floor per call)
+        beam_d, (beam_ids, beam_exp) = merge_into_beam(
+            beam_d,
+            [(beam_ids, -1), (beam_exp, True)],
+            cand_d,
+            [(cand_ids, -1), (~fresh, True)],
+            ef,
         )
+        return beam_ids, beam_d, beam_exp, visited, it + 1
 
     beam_ids, beam_d, beam_exp, visited, _ = jax.lax.while_loop(
         cond, body, (beam_ids, beam_d, beam_exp, visited, jnp.int32(0))
@@ -159,17 +205,15 @@ def descend(graph: GraphTensors, q, qn, metric: str, stop_level: int = 0):
 
     Returns (cur, cur_d): the per-query entry point for layer `stop_level`.
     The layer stack height is static (adj_upper.shape[0]); layers above the
-    live max_level are masked out, 'unrolled as a lax.while over the layer
-    stack' per the north-star (here: unrolled statically, one bounded greedy
-    while per layer — upper layers hold ~N/M^ℓ nodes so each is short).
-    """
+    live max_level are masked out."""
     b = q.shape[0]
     cur = jnp.broadcast_to(graph.entry, (b,)).astype(jnp.int32)
-    cur_d = dists_to_ids(graph.vectors, graph.norms, q, qn, cur[:, None], metric)[:, 0]
+    cur_d = dists_to_ids(graph.vectors, graph.scales, graph.norms, q, qn, cur[:, None], metric)[:, 0]
     for li in range(graph.l_max, stop_level, -1):
         enabled = jnp.broadcast_to(li <= graph.max_level, (b,))
         cur, cur_d = _greedy_level(
             graph.vectors,
+            graph.scales,
             graph.norms,
             graph.adj_upper[li - 1],
             q,
@@ -191,7 +235,10 @@ def preprocess_queries(q, metric: str):
     return q
 
 
-@partial(jax.jit, static_argnames=("k", "ef", "metric", "max_iters"))
+@partial(
+    jax.jit,
+    static_argnames=("k", "ef", "metric", "max_iters", "expand", "visited_bits"),
+)
 def knn_search(
     graph: GraphTensors,
     queries,  # f32[B, D]
@@ -199,17 +246,27 @@ def knn_search(
     ef: int,
     metric: str,
     max_iters: int | None = None,
+    expand: int | None = None,
+    visited_bits: int | None = None,
 ):
     """Full Alg 5: greedy descent through upper layers, then an ef-wide beam at
     layer 0; returns (ids i32[B, k], dists f32[B, k]) ascending, -1/inf padded.
     Tombstoned nodes are traversed but filtered from results (hnswlib
-    mark_deleted semantics)."""
+    mark_deleted semantics).
+
+    expand / visited_bits default to auto (see pick_visited_bits); pass
+    expand=1, visited_bits=None to force the closest-to-Alg-2 semantics."""
     ef = max(ef, k)
+    if expand is None:
+        expand = 4
+    if visited_bits is None:
+        visited_bits = pick_visited_bits(graph.n_cap, ef, graph.adj0.shape[1])
     q = preprocess_queries(queries, metric)
     qn = query_norms(q, metric)
     cur, cur_d = descend(graph, q, qn, metric, stop_level=0)
     ids, d = beam_search_layer(
         graph.vectors,
+        graph.scales,
         graph.norms,
         graph.adj0,
         q,
@@ -219,6 +276,8 @@ def knn_search(
         ef,
         metric,
         max_iters,
+        expand=expand,
+        visited_bits=visited_bits,
     )
     # tombstone filter, then final top-k (beam is sorted but masking reorders)
     dead = graph.deleted[jnp.maximum(ids, 0)] | (ids < 0)

@@ -33,7 +33,8 @@ def query_norms(q: jax.Array, metric: str) -> jax.Array:
 
 
 def dists_to_ids(
-    vectors: jax.Array,  # f32[N_cap, D]
+    vectors: jax.Array,  # [N_cap, D] stored rows (f32 / bf16 / int8)
+    scales: jax.Array,  # f32[N_cap] per-vector dequant scale (ones unless int8)
     norms: jax.Array,  # f32[N_cap]   precomputed ||x||² (zeros for ip/cosine)
     q: jax.Array,  # f32[B, D]
     qn: jax.Array,  # f32[B]
@@ -42,12 +43,18 @@ def dists_to_ids(
 ) -> jax.Array:
     """Distances d(q_b, x_{ids[b,k]}) as f32[B, K]; +inf at sentinel slots.
 
-    l2 uses exact VPU (x−q)² (see precision note above); ip/cosine use one
+    The gather of `vectors` rows is the bandwidth-critical op — storage dtype
+    (f32/bf16/int8) sets its byte cost.  l2 uses exact VPU (x−q)² after
+    dequantization (see precision note above); ip/cosine use one
     HIGHEST-precision contraction.
     """
-    del norms, qn  # kept in the signature: the int8 path uses them
+    del norms, qn  # matmul-form variants would use these
     safe = jnp.maximum(ids, 0)
-    rows = vectors[safe]  # [B, K, D] gather — the bandwidth-critical op
+    rows = vectors[safe]  # [B, K, D] gather
+    if rows.dtype == jnp.int8:
+        rows = rows.astype(jnp.float32) * scales[safe][:, :, None]
+    elif rows.dtype != jnp.float32:
+        rows = rows.astype(jnp.float32)
     if metric == "l2":
         diff = rows - q[:, None, :]
         d = jnp.sum(diff * diff, axis=-1)
@@ -55,6 +62,15 @@ def dists_to_ids(
         dot = jnp.einsum("bkd,bd->bk", rows, q, precision=HIGHEST)
         d = 1.0 - dot
     return jnp.where(ids < 0, INF, d)
+
+
+def gather_dequant(vectors: jax.Array, scales: jax.Array, ids: jax.Array):
+    """Gather rows by id and dequantize to f32[B, K, D] (sentinels → row 0)."""
+    safe = jnp.maximum(ids, 0)
+    rows = vectors[safe]
+    if rows.dtype == jnp.int8:
+        return rows.astype(jnp.float32) * scales[safe][:, :, None]
+    return rows.astype(jnp.float32)
 
 
 def pairwise_dists(

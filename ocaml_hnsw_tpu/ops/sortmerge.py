@@ -1,0 +1,110 @@
+"""Bitonic sort / merge networks for the beam update — the heap replacement.
+
+`lax.top_k` on TPU has a multi-millisecond floor per call at beam shapes
+([B≈2k, ~330] even for k=8), and the beam loop called it twice per iteration —
+measured as the dominant cost of both search and build.  A bitonic network is
+the TPU-shaped alternative: every compare-exchange stage is an elementwise
+min/max against a *statically* permuted copy (idx ^ j), so the whole merge is
+VPU work with no dynamic scatter/gather and no sort op.
+
+Cost: full sort of width n = log²(n)/2 stages; merging an ascending run with a
+descending run of equal width = log(n) stages.  The beam loop only ever needs
+the merge plus one small candidate sort.
+
+All widths must be powers of two; callers pad with ±inf sentinels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _stage(d, payloads, j: int, want_min: np.ndarray):
+    """One compare-exchange stage: partner = idx ^ j (static shuffle)."""
+    n = d.shape[-1]
+    perm = np.arange(n) ^ j
+    pd = d[:, perm]
+    wm = jnp.asarray(want_min)[None, :]
+    take_partner = jnp.where(wm, pd < d, pd > d)
+    out_d = jnp.where(take_partner, pd, d)
+    out_p = [jnp.where(take_partner, p[:, perm], p) for p in payloads]
+    return out_d, out_p
+
+
+def bitonic_sort(d, payloads=(), ascending: bool = True):
+    """Full bitonic sort of f32[B, n] (n a power of two), payloads carried."""
+    n = d.shape[-1]
+    assert n & (n - 1) == 0, "width must be a power of two"
+    idx = np.arange(n)
+    payloads = list(payloads)
+    k = 2
+    while k <= n:
+        up = (idx & k) == 0
+        if not ascending:
+            up = ~up
+        j = k // 2
+        while j >= 1:
+            is_lower = (idx & j) == 0
+            want_min = np.where(is_lower, up, ~up)
+            d, payloads = _stage(d, payloads, j, want_min)
+            j //= 2
+        k *= 2
+    return d, payloads
+
+
+def bitonic_merge(d, payloads=()):
+    """Ascending merge of a *bitonic* row (e.g. ascending half ++ descending
+    half): f32[B, n] with n a power of two; log2(n) stages."""
+    n = d.shape[-1]
+    assert n & (n - 1) == 0, "width must be a power of two"
+    idx = np.arange(n)
+    payloads = list(payloads)
+    j = n // 2
+    while j >= 1:
+        is_lower = (idx & j) == 0
+        d, payloads = _stage(d, payloads, j, is_lower)
+        j //= 2
+    return d, payloads
+
+
+def merge_into_beam(beam_d, beam_payloads, cand_d, cand_payloads, ef: int):
+    """Merge unsorted candidates into a sorted-ascending beam, keep best ef.
+
+    beam: f32[B, ef] ascending (+inf padded).  cand: f32[B, C] unsorted.
+    Returns (d, payloads) of width ef, ascending.  Pure compare-exchange
+    network: sort candidates descending, pad both sides to a common power of
+    two, then one bitonic merge.
+    """
+    c = cand_d.shape[-1]
+    p2 = next_pow2(max(ef, c))
+    # candidates: sort descending at their own (padded) width
+    if c < p2:
+        cand_d = jnp.pad(cand_d, ((0, 0), (0, p2 - c)), constant_values=jnp.inf)
+        cand_payloads = [
+            jnp.pad(p, ((0, 0), (0, p2 - c)), constant_values=fill)
+            for p, fill in cand_payloads
+        ]
+    else:
+        cand_payloads = [p for p, _ in cand_payloads]
+    cd, cp = bitonic_sort(cand_d, cand_payloads, ascending=False)
+    # beam: ascending, pad at the tail
+    if ef < p2:
+        beam_d = jnp.pad(beam_d, ((0, 0), (0, p2 - ef)), constant_values=jnp.inf)
+        beam_payloads = [
+            jnp.pad(p, ((0, 0), (0, p2 - ef)), constant_values=fill)
+            for p, fill in beam_payloads
+        ]
+    else:
+        beam_payloads = [p for p, _ in beam_payloads]
+    m_d = jnp.concatenate([beam_d, cd], axis=1)  # ascending ++ descending
+    m_p = [jnp.concatenate([a, b], axis=1) for a, b in zip(beam_payloads, cp)]
+    m_d, m_p = bitonic_merge(m_d, m_p)
+    return m_d[:, :ef], [p[:, :ef] for p in m_p]

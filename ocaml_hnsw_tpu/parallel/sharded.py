@@ -169,7 +169,7 @@ class ShardedIndex:
             np.random.RandomState(random_seed + i) for i in range(s)
         ]
         self._shard_n = np.zeros(s, dtype=np.int64)  # host mirror of n
-        self.rev_cap = min(2 * M, 64)
+        self.rev_cap = max(8, M)
 
     def _require_init(self):
         if self._stacked is None:
