@@ -49,15 +49,18 @@ def main():
         qps_batch=args.qps_batch,
         verbose=not args.quiet,
     )
+    hnsw = result["engines"].get("hnsw", {})
     line = {
         "metric": f"QPS/chip at recall@10>={result['target_recall']} "
                   f"({args.config} synthetic)",
         "value": result["qps"],
         "unit": "qps",
         "vs_baseline": round(result["qps"] / TARGET_QPS, 4),
+        "engine": result["engine"],
         "recall": result["recall"],
-        "ef": result["ef"],
-        "build_vectors_per_second": result["build_vectors_per_second"],
+        "hnsw_qps": hnsw.get("best", {}).get("qps"),
+        "hnsw_recall": hnsw.get("best", {}).get("recall"),
+        "hnsw_build_vectors_per_second": hnsw.get("build_vectors_per_second"),
         "backend": result["backend"],
     }
     print(json.dumps(line))

@@ -18,13 +18,13 @@ from ocaml_hnsw_tpu.config import HnswConfig
 
 __version__ = "0.1.0"
 
-__all__ = ["HnswConfig", "Index", "BFIndex", "__version__"]
+__all__ = ["HnswConfig", "Index", "BFIndex", "FlatIndex", "__version__"]
 
 
 def __getattr__(name):
     # Lazy: the API layer pulls in jax; keep `import ocaml_hnsw_tpu` light so the
     # NumPy oracle and harness work without touching the device runtime.
-    if name in ("Index", "BFIndex"):
+    if name in ("Index", "BFIndex", "FlatIndex"):
         from ocaml_hnsw_tpu import api
 
         return getattr(api, name)

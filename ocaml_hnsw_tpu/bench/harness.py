@@ -1,12 +1,15 @@
 """Benchmark harness — the reference's L4 layer (SURVEY.md §1, §3.5):
 ann-benchmarks-style protocol: build (timed), exact ground truth, recall@k
-sweep over ef, QPS at the target recall.  Emits structured JSON per run
-(SURVEY.md §5.5 metrics/observability).
+sweep, QPS at the target recall.  Emits structured JSON per run (SURVEY.md
+§5.5 metrics/observability).
+
+Two engines are measured — the HNSW graph index and the MXU flat scan
+(models/flat.py) — and the headline is the faster one that meets the recall
+target; both results are reported.
 """
 
 from __future__ import annotations
 
-import json
 import time
 
 import numpy as np
@@ -16,46 +19,61 @@ import jax.numpy as jnp
 from ocaml_hnsw_tpu.config import HnswConfig
 from ocaml_hnsw_tpu.models.build import BuildState
 from ocaml_hnsw_tpu.models.search import knn_search
+from ocaml_hnsw_tpu.models.flat import empty_flat, flat_add, flat_search
 from ocaml_hnsw_tpu.oracle.bruteforce import recall as recall_of
 from ocaml_hnsw_tpu.bench import datasets
 
 
+def build_flat(data: np.ndarray, metric: str):
+    """Upload a dataset into FlatTensors (cosine rows normalized)."""
+    data = np.asarray(data, dtype=np.float32)
+    if metric == "cosine":
+        nrm = np.linalg.norm(data, axis=1, keepdims=True)
+        data = data / np.where(nrm == 0, 1.0, nrm)
+    n = data.shape[0]
+    flat = empty_flat(data.shape[1], n)
+    chunk = 262144
+    for i in range(0, n, chunk):
+        c = min(chunk, n - i)
+        rows = np.zeros((chunk, data.shape[1]), np.float32)
+        rows[:c] = data[i : i + c]
+        flat = flat_add(flat, jnp.asarray(rows), jnp.int32(i), jnp.int32(c))
+    return flat
+
+
 def device_ground_truth(data: np.ndarray, queries: np.ndarray, k: int,
                         metric: str, chunk: int = 256) -> np.ndarray:
-    """Exact kNN on the accelerator, chunked over queries."""
-    from ocaml_hnsw_tpu.api import _bf_knn
-
-    x = jnp.asarray(data)
-    deleted = jnp.zeros((data.shape[0],), jnp.bool_)
+    """Exact kNN on the accelerator (f32 HIGHEST scan), chunked over queries."""
+    flat = build_flat(data, metric)
     out = []
     for i in range(0, queries.shape[0], chunk):
         qc = queries[i : i + chunk]
         pad = chunk - qc.shape[0]
         if pad:
             qc = np.pad(qc, ((0, pad), (0, 0)))
-        ids, _ = _bf_knn(x, jnp.asarray(qc), deleted, k=k, metric=metric)
+        ids, _ = flat_search(flat, jnp.asarray(qc), k=k, metric=metric,
+                             rerank_k=k, exact=True)
         out.append(np.asarray(ids)[: chunk - pad])
     return np.concatenate(out)
 
 
-def measure_qps(graph, queries: np.ndarray, k: int, ef: int, metric: str,
-                batch: int = 4096, warmup: int = 1, reps: int = 3) -> float:
-    """Throughput of the batched search at a fixed ef (queries tiled to fill
-    whole batches; jit warmed up first).
+def measure_qps(search_fn, queries: np.ndarray, batch: int = 4096,
+                warmup: int = 1, reps: int = 3) -> float:
+    """Throughput of `search_fn(q_batch) -> ids` (queries tiled to fill whole
+    batches; jit warmed first).
 
     Timing note: through the axon tunnel `block_until_ready` does NOT actually
-    synchronize, so each measured call fetches one scalar to host — the TPU
-    stream is in-order, so the fetch syncs everything enqueued before it."""
+    synchronize, so measurement fetches one scalar to host — the TPU stream is
+    in-order, so the fetch syncs everything enqueued before it."""
     q = queries
     while q.shape[0] < batch:
         q = np.concatenate([q, q])
     q = jnp.asarray(q[:batch])
     for _ in range(warmup):
-        ids, _ = knn_search(graph, q, k=k, ef=ef, metric=metric)
-        np.asarray(ids[0, 0])
+        np.asarray(search_fn(q)[0, 0])
     t0 = time.perf_counter()
     for _ in range(reps):
-        ids, _ = knn_search(graph, q, k=k, ef=ef, metric=metric)
+        ids = search_fn(q)
     np.asarray(ids[0, 0])  # one sync at the end; stream is in-order
     dt = time.perf_counter() - t0
     return batch * reps / dt
@@ -72,9 +90,12 @@ def run_config(
     ef_construction: int = 200,
     round_size: int = 1024,
     ef_sweep=(10, 16, 24, 32, 48, 64, 96, 128, 192, 256),
+    rerank_sweep=(32, 64, 128),
     target_recall: float = 0.95,
     qps_batch: int = 4096,
     seed: int = 7,
+    storage: str = "f32",
+    engines=("hnsw", "flat"),
     verbose: bool = True,
 ) -> dict:
     """Full ann-benchmarks protocol on a synthetic stand-in dataset."""
@@ -85,48 +106,92 @@ def run_config(
 
     data = datasets.clustered(n, dim, n_clusters=max(64, n // 2500), seed=seed)
     queries = datasets.queries_like(data, n_queries, seed=seed + 1)
-    cfg = HnswConfig(dim=dim, metric=metric, M=M,
-                     ef_construction=ef_construction)
-    log(f"building: n={n} dim={dim} metric={metric} M={M} efC={ef_construction}")
-    t0 = time.perf_counter()
-    state = BuildState(cfg, n, round_size=round_size)
-    state.add(data)
-    jax.block_until_ready(state.graph.adj0)
-    build_s = time.perf_counter() - t0
-    build_vps = n / build_s
-    log(f"built in {build_s:.1f}s = {build_vps:.0f} vectors/s")
 
     log("computing exact ground truth on device")
     gt = device_ground_truth(data, queries, k, metric)
 
-    sweep = []
-    chosen = None
-    for ef in ef_sweep:
-        ids, _ = knn_search(
-            state.graph, jnp.asarray(queries), k=k, ef=ef, metric=metric
-        )
-        r = recall_of(np.asarray(ids), gt)
-        qps = measure_qps(state.graph, queries, k, ef, metric, batch=qps_batch)
-        sweep.append({"ef": ef, "recall": round(r, 4), "qps": round(qps)})
-        log(f"ef={ef}: recall@{k}={r:.4f} qps={qps:.0f}")
-        if chosen is None and r >= target_recall:
-            chosen = sweep[-1]
-            break
-    if chosen is None:
-        chosen = sweep[-1]
+    results = {}
 
+    if "hnsw" in engines:
+        cfg = HnswConfig(dim=dim, metric=metric, M=M,
+                         ef_construction=ef_construction, storage=storage)
+        log(f"hnsw build: n={n} dim={dim} metric={metric} M={M} "
+            f"efC={ef_construction} storage={storage}")
+        t0 = time.perf_counter()
+        state = BuildState(cfg, n, round_size=round_size)
+        state.add(data)
+        np.asarray(state.graph.n)
+        build_s = time.perf_counter() - t0
+        log(f"hnsw built in {build_s:.1f}s = {n / build_s:.0f} vectors/s")
+        sweep = []
+        chosen = None
+        for ef in ef_sweep:
+            ids, _ = knn_search(state.graph, jnp.asarray(queries), k=k,
+                                ef=ef, metric=metric)
+            r = recall_of(np.asarray(ids), gt)
+            qps = measure_qps(
+                lambda q, ef=ef: knn_search(state.graph, q, k=k, ef=ef,
+                                            metric=metric)[0],
+                queries, batch=qps_batch,
+            )
+            sweep.append({"ef": ef, "recall": round(r, 4), "qps": round(qps)})
+            log(f"hnsw ef={ef}: recall@{k}={r:.4f} qps={qps:.0f}")
+            if chosen is None and r >= target_recall:
+                chosen = sweep[-1]
+                break
+        results["hnsw"] = {
+            "build_seconds": round(build_s, 2),
+            "build_vectors_per_second": round(n / build_s),
+            "sweep": sweep,
+            "best": chosen or sweep[-1],
+        }
+
+    if "flat" in engines:
+        t0 = time.perf_counter()
+        flat = build_flat(data, metric)
+        np.asarray(flat.n)
+        flat_build_s = time.perf_counter() - t0
+        log(f"flat built in {flat_build_s:.1f}s = {n / flat_build_s:.0f} v/s")
+        sweep = []
+        chosen = None
+        for rk in rerank_sweep:
+            ids, _ = flat_search(flat, jnp.asarray(queries), k=k,
+                                 metric=metric, rerank_k=rk)
+            r = recall_of(np.asarray(ids), gt)
+            qps = measure_qps(
+                lambda q, rk=rk: flat_search(flat, q, k=k, metric=metric,
+                                             rerank_k=rk)[0],
+                queries, batch=qps_batch,
+            )
+            sweep.append({"rerank_k": rk, "recall": round(r, 4),
+                          "qps": round(qps)})
+            log(f"flat rerank_k={rk}: recall@{k}={r:.4f} qps={qps:.0f}")
+            if chosen is None and r >= target_recall:
+                chosen = sweep[-1]
+                break
+        results["flat"] = {
+            "build_seconds": round(flat_build_s, 2),
+            "build_vectors_per_second": round(n / flat_build_s),
+            "sweep": sweep,
+            "best": chosen or sweep[-1],
+        }
+
+    # headline: fastest engine meeting the target
+    meeting = {
+        e: v for e, v in results.items() if v["best"]["recall"] >= target_recall
+    }
+    pool = meeting or results
+    head = max(pool, key=lambda e: pool[e]["best"]["qps"])
     return {
         "config": name,
         "n": n,
         "dim": dim,
         "metric": metric,
-        "build_seconds": round(build_s, 2),
-        "build_vectors_per_second": round(build_vps),
         "target_recall": target_recall,
-        "recall": chosen["recall"],
-        "ef": chosen["ef"],
-        "qps": chosen["qps"],
-        "sweep": sweep,
+        "engine": head,
+        "recall": results[head]["best"]["recall"],
+        "qps": results[head]["best"]["qps"],
+        "engines": results,
         "backend": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
     }

@@ -1,0 +1,138 @@
+"""MXU flat-scan index — the TPU-native fast path for moderate-N datasets.
+
+Measured reality on v5e (see SURVEY.md §7 "gather bandwidth" and the profiling
+notes in models/search.py): random row gathers run at ~90M rows/s, which caps
+graph traversal at ~15k QPS on SIFT1M-shaped work, while one bf16 MXU pass
+over the *entire* dataset plus the hardware-accelerated `approx_min_k`
+(the TPU SortOp the ScaNN line of work targets) reaches >200k QPS at ~exact
+recall.  On this hardware the matmul beats the pointer chase — so the
+framework ships both: HNSW (sub-linear, wins at large N / high dim / tight
+memory) and this flat scan (wins wherever the whole dataset fits one chip's
+compute budget), plus the recall/QPS harness to pick per workload.
+
+Pipeline per query batch:
+  1. scores = bf16 MXU contraction against all N rows (‖x‖² − 2⟨q,x⟩ for l2,
+     −⟨q,x⟩ for ip/cosine) — bf16 error is fine here because
+  2. `jax.lax.approx_min_k` keeps `rerank_k` ≫ k candidates, and
+  3. the exact f32 rows of those candidates are gathered (tiny: rerank_k rows
+     per query) and re-scored on the VPU; final exact top-k.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ocaml_hnsw_tpu.utils import round_up
+from ocaml_hnsw_tpu.ops.distance import INF, HIGHEST
+
+
+class FlatTensors(NamedTuple):
+    """Flat index state.  scan: bf16[N_cap, D] MXU operand; rerank:
+    f32[N_cap, D] exact rows; norms: f32[N_cap] ‖x‖² (+inf on empty slots so
+    padding never scores); n: count; deleted: tombstones."""
+
+    scan: jnp.ndarray
+    rerank: jnp.ndarray
+    norms: jnp.ndarray
+    n: jnp.ndarray
+    deleted: jnp.ndarray
+
+    @property
+    def n_cap(self) -> int:
+        return self.scan.shape[0]
+
+
+def empty_flat(dim: int, max_elements: int) -> FlatTensors:
+    n_cap = round_up(max(max_elements, 128), 128)
+    return FlatTensors(
+        scan=jnp.zeros((n_cap, dim), jnp.bfloat16),
+        rerank=jnp.zeros((n_cap, dim), jnp.float32),
+        norms=jnp.full((n_cap,), jnp.inf, jnp.float32),
+        n=jnp.int32(0),
+        deleted=jnp.zeros((n_cap,), jnp.bool_),
+    )
+
+
+@jax.jit
+def flat_add(flat: FlatTensors, rows, start, count) -> FlatTensors:
+    """Append `count` of the (padded) `rows` at slots [start, start+count)."""
+    r = rows.shape[0]
+    p = (start + jnp.arange(r, dtype=jnp.int32)).astype(jnp.int32)
+    valid = jnp.arange(r) < count
+    rows = rows.astype(jnp.float32)
+    return flat._replace(
+        scan=flat.scan.at[p].set(
+            jnp.where(valid[:, None], rows.astype(jnp.bfloat16), flat.scan[p])
+        ),
+        rerank=flat.rerank.at[p].set(
+            jnp.where(valid[:, None], rows, flat.rerank[p])
+        ),
+        norms=flat.norms.at[p].set(
+            jnp.where(valid, jnp.sum(rows * rows, axis=1), flat.norms[p])
+        ),
+        n=flat.n + count.astype(jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "rerank_k", "metric", "exact"))
+def flat_search(
+    flat: FlatTensors,
+    queries,  # f32[B, D]
+    k: int,
+    metric: str,
+    rerank_k: int = 32,
+    exact: bool = False,
+):
+    """Returns (ids i32[B, k], dists f32[B, k]) ascending, -1/+inf padded.
+
+    exact=True scores the scan in f32 at HIGHEST MXU precision and uses exact
+    top_k (slower; the hnswlib-parity BFIndex semantics).  Default: bf16 scan
+    + approx_min_k + exact f32 rerank (near-exact, ~10× faster)."""
+    from ocaml_hnsw_tpu.models.search import preprocess_queries
+
+    q = preprocess_queries(queries, metric)
+    rerank_k = max(k, min(rerank_k, flat.n_cap))
+    if exact:
+        dot = jnp.einsum("bd,nd->bn", q, flat.rerank, precision=HIGHEST)
+    else:
+        dot = jax.lax.dot_general(
+            q.astype(jnp.bfloat16),
+            flat.scan,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    if metric == "l2":
+        scores = flat.norms[None, :] - 2.0 * dot  # +‖q‖² is rank-invariant
+    else:
+        scores = -dot  # 1 - dot, shifted (rank-invariant)
+    scores = jnp.where(flat.deleted[None, :], INF, scores)
+    # empty slots carry norms=+inf (l2); for ip/cosine mask them explicitly
+    if metric != "l2":
+        occupied = jnp.arange(flat.n_cap) < flat.n
+        scores = jnp.where(occupied[None, :], scores, INF)
+
+    if exact:
+        neg, ids = jax.lax.top_k(-scores, rerank_k)
+    else:
+        _, ids = jax.lax.approx_min_k(scores, rerank_k, recall_target=0.95)
+
+    # exact f32 rerank of the candidates
+    rows = flat.rerank[ids]  # [B, rerank_k, D]
+    if metric == "l2":
+        diff = rows - q[:, None, :]
+        d = jnp.sum(diff * diff, axis=-1)
+    else:
+        d = 1.0 - jnp.einsum("bkd,bd->bk", rows, q, precision=HIGHEST)
+    # mask tombstones and unoccupied slots (their rerank rows are zeros and
+    # would otherwise score a finite distance)
+    d = jnp.where(flat.deleted[ids] | (ids >= flat.n), INF, d)
+    neg, idx = jax.lax.top_k(-d, k)
+    out_d = -neg
+    out_ids = jnp.take_along_axis(ids, idx, axis=1)
+    out_ids = jnp.where(jnp.isinf(out_d), -1, out_ids)
+    return out_ids, out_d

@@ -207,3 +207,45 @@ class TestBFIndex:
         np.testing.assert_array_equal(
             idx.knn_query(q, k=10)[0], idx2.knn_query(q, k=10)[0]
         )
+
+
+class TestFlatIndex:
+    def test_fast_path_high_recall(self):
+        from ocaml_hnsw_tpu.api import FlatIndex
+        data = clustered(2000, 32, n_clusters=40, seed=20)
+        fi = FlatIndex(space="l2", dim=32)
+        fi.init_index(max_elements=2500, rerank_k=32)
+        fi.add_items(data)
+        q = queries_like(data, 100, seed=21)
+        gt, _ = bruteforce_knn(data, q, 10, "l2")
+        labels, dists = fi.knn_query(q, k=10)
+        assert recall(labels, gt) >= 0.99
+        assert (np.diff(dists, axis=1) >= -1e-6).all()
+
+    def test_delete_and_save_load(self, tmp_path):
+        from ocaml_hnsw_tpu.api import FlatIndex
+        data = clustered(300, 16, n_clusters=8, seed=22)
+        fi = FlatIndex(space="l2", dim=16)
+        fi.init_index(max_elements=300)
+        fi.add_items(data, ids=np.arange(300) + 50)
+        assert fi.knn_query(data[4], k=1)[0][0, 0] == 54
+        fi.mark_deleted(54)
+        assert fi.knn_query(data[4], k=1)[0][0, 0] != 54
+        p = tmp_path / "flat.npz"
+        fi.save_index(p)
+        fi2 = FlatIndex(space="l2", dim=16)
+        fi2.load_index(p)
+        assert fi2.knn_query(data[4], k=1)[0][0, 0] != 54
+        fi2.unmark_deleted(54)
+        assert fi2.knn_query(data[4], k=1)[0][0, 0] == 54
+
+    def test_cosine(self):
+        from ocaml_hnsw_tpu.api import FlatIndex
+        data = clustered(500, 16, n_clusters=10, seed=23)
+        fi = FlatIndex(space="cosine", dim=16)
+        fi.init_index(max_elements=500)
+        fi.add_items(data)
+        q = queries_like(data, 50, seed=24)
+        gt, _ = bruteforce_knn(data, q, 10, "cosine")
+        labels, _ = fi.knn_query(q, k=10)
+        assert recall(labels, gt) >= 0.97
