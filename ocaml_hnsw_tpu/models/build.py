@@ -34,11 +34,7 @@ import jax.numpy as jnp
 
 from ocaml_hnsw_tpu.config import HnswConfig
 from ocaml_hnsw_tpu.models.graph import GraphTensors, empty_graph, capacity
-from ocaml_hnsw_tpu.models.search import (
-    beam_search_layer,
-    _greedy_level,
-    pick_visited_bits,
-)
+from ocaml_hnsw_tpu.models.search import beam_search_layer, _greedy_level
 from ocaml_hnsw_tpu.ops.distance import (
     dists_to_ids,
     gather_dequant,
@@ -305,8 +301,7 @@ def insert_round(
             ef_l = efc if level == 0 else efc_upper
             w_ids, w_d = beam_search_layer(
                 vectors, scales, norms, adj_l, q, qn, entry_ids, entry_d,
-                ef_l, metric, expand=4,
-                visited_bits=pick_visited_bits(n_cap, ef_l, adj_l.shape[1]),
+                ef_l, metric, expand=4, visited_bits=0,
             )
             if level > 0:
                 ep_ids = jnp.where(beam_on[:, None], w_ids, ep_ids)
