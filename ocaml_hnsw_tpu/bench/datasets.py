@@ -56,3 +56,26 @@ def laion_shaped(n: int = 5_000_000, n_queries: int = 10_000, seed: int = 17):
     """Config 5 stand-in: LAION-5M CLIP-shaped — 768-d, cosine, streaming."""
     data = clustered(n, 768, n_clusters=max(64, n // 2500), seed=seed)
     return data, queries_like(data, n_queries, seed=seed + 1)
+
+
+def clustered_device(n: int, dim: int, n_clusters: int = 100, seed: int = 0,
+                     spread: float = 0.15):
+    """Device-side clustered data + queries (host→device transfer through the
+    axon tunnel runs at only a few MB/s, so 1M-scale benches must generate on
+    the accelerator).  Returns (data f32[n, dim] on device, queries fn)."""
+    import jax
+    import jax.numpy as jnp
+
+    kc, ka, kn = jax.random.split(jax.random.PRNGKey(seed), 3)
+    centers = jax.random.normal(kc, (n_clusters, dim), jnp.float32)
+    assign = jax.random.randint(ka, (n,), 0, n_clusters)
+    data = centers[assign] + spread * jax.random.normal(kn, (n, dim), jnp.float32)
+
+    def make_queries(n_queries: int, qseed: int = 1, jitter: float = 0.1):
+        kp, kj = jax.random.split(jax.random.PRNGKey(qseed), 2)
+        picks = jax.random.randint(kp, (n_queries,), 0, n)
+        return data[picks] + jitter * jax.random.normal(
+            kj, (n_queries, dim), jnp.float32
+        )
+
+    return data, make_queries

@@ -24,15 +24,23 @@ from ocaml_hnsw_tpu.oracle.bruteforce import recall as recall_of
 from ocaml_hnsw_tpu.bench import datasets
 
 
-def build_flat(data: np.ndarray, metric: str):
-    """Upload a dataset into FlatTensors (cosine rows normalized)."""
-    data = np.asarray(data, dtype=np.float32)
+def build_flat(data, metric: str):
+    """Load a dataset (host numpy or device array) into FlatTensors."""
+    if not isinstance(data, jnp.ndarray):
+        data = np.asarray(data, dtype=np.float32)
     if metric == "cosine":
-        nrm = np.linalg.norm(data, axis=1, keepdims=True)
-        data = data / np.where(nrm == 0, 1.0, nrm)
+        xp = jnp if isinstance(data, jnp.ndarray) else np
+        nrm = xp.linalg.norm(data, axis=1, keepdims=True)
+        data = data / xp.where(nrm == 0, 1.0, nrm)
     n = data.shape[0]
     flat = empty_flat(data.shape[1], n)
     chunk = 262144
+    if isinstance(data, jnp.ndarray):
+        data = jnp.pad(data.astype(jnp.float32), ((0, chunk), (0, 0)))
+        for i in range(0, n, chunk):
+            rows = jax.lax.dynamic_slice_in_dim(data, i, chunk, axis=0)
+            flat = flat_add(flat, rows, jnp.int32(i), jnp.int32(min(chunk, n - i)))
+        return flat
     for i in range(0, n, chunk):
         c = min(chunk, n - i)
         rows = np.zeros((chunk, data.shape[1]), np.float32)
@@ -41,19 +49,18 @@ def build_flat(data: np.ndarray, metric: str):
     return flat
 
 
-def device_ground_truth(data: np.ndarray, queries: np.ndarray, k: int,
-                        metric: str, chunk: int = 256) -> np.ndarray:
+def device_ground_truth(flat, queries, k: int, metric: str,
+                        chunk: int = 256) -> np.ndarray:
     """Exact kNN on the accelerator (f32 HIGHEST scan), chunked over queries."""
-    flat = build_flat(data, metric)
+    queries = jnp.asarray(queries)
+    nq = queries.shape[0]
+    queries = jnp.pad(queries, ((0, chunk), (0, 0)))
     out = []
-    for i in range(0, queries.shape[0], chunk):
-        qc = queries[i : i + chunk]
-        pad = chunk - qc.shape[0]
-        if pad:
-            qc = np.pad(qc, ((0, pad), (0, 0)))
-        ids, _ = flat_search(flat, jnp.asarray(qc), k=k, metric=metric,
+    for i in range(0, nq, chunk):
+        qc = jax.lax.dynamic_slice_in_dim(queries, i, chunk, axis=0)
+        ids, _ = flat_search(flat, qc, k=k, metric=metric,
                              rerank_k=k, exact=True)
-        out.append(np.asarray(ids)[: chunk - pad])
+        out.append(np.asarray(ids)[: min(chunk, nq - i)])
     return np.concatenate(out)
 
 
@@ -65,10 +72,10 @@ def measure_qps(search_fn, queries: np.ndarray, batch: int = 4096,
     Timing note: through the axon tunnel `block_until_ready` does NOT actually
     synchronize, so measurement fetches one scalar to host — the TPU stream is
     in-order, so the fetch syncs everything enqueued before it."""
-    q = queries
+    q = jnp.asarray(queries)
     while q.shape[0] < batch:
-        q = np.concatenate([q, q])
-    q = jnp.asarray(q[:batch])
+        q = jnp.concatenate([q, q])
+    q = q[:batch]
     for _ in range(warmup):
         np.asarray(search_fn(q)[0, 0])
     t0 = time.perf_counter()
@@ -104,11 +111,19 @@ def run_config(
         if verbose:
             print(f"[bench:{name}] {msg}", flush=True)
 
-    data = datasets.clustered(n, dim, n_clusters=max(64, n // 2500), seed=seed)
-    queries = datasets.queries_like(data, n_queries, seed=seed + 1)
+    log("generating dataset on device")
+    data, make_q = datasets.clustered_device(
+        n, dim, n_clusters=max(64, n // 2500), seed=seed
+    )
+    queries = make_q(n_queries, qseed=seed + 1)
 
+    t0 = time.perf_counter()
+    flat = build_flat(data, metric)
+    np.asarray(flat.n)
+    flat_build_s = time.perf_counter() - t0
+    log(f"flat loaded in {flat_build_s:.1f}s")
     log("computing exact ground truth on device")
-    gt = device_ground_truth(data, queries, k, metric)
+    gt = device_ground_truth(flat, queries, k, metric)
 
     results = {}
 
@@ -119,15 +134,15 @@ def run_config(
             f"efC={ef_construction} storage={storage}")
         t0 = time.perf_counter()
         state = BuildState(cfg, n, round_size=round_size)
-        state.add(data)
+        state.add(data)  # device-resident data: no host transfer
         np.asarray(state.graph.n)
         build_s = time.perf_counter() - t0
         log(f"hnsw built in {build_s:.1f}s = {n / build_s:.0f} vectors/s")
         sweep = []
         chosen = None
         for ef in ef_sweep:
-            ids, _ = knn_search(state.graph, jnp.asarray(queries), k=k,
-                                ef=ef, metric=metric)
+            ids, _ = knn_search(state.graph, queries, k=k, ef=ef,
+                                metric=metric)
             r = recall_of(np.asarray(ids), gt)
             qps = measure_qps(
                 lambda q, ef=ef: knn_search(state.graph, q, k=k, ef=ef,
@@ -147,15 +162,11 @@ def run_config(
         }
 
     if "flat" in engines:
-        t0 = time.perf_counter()
-        flat = build_flat(data, metric)
-        np.asarray(flat.n)
-        flat_build_s = time.perf_counter() - t0
-        log(f"flat built in {flat_build_s:.1f}s = {n / flat_build_s:.0f} v/s")
+        log(f"flat engine (loaded above in {flat_build_s:.1f}s)")
         sweep = []
         chosen = None
         for rk in rerank_sweep:
-            ids, _ = flat_search(flat, jnp.asarray(queries), k=k,
+            ids, _ = flat_search(flat, queries, k=k,
                                  metric=metric, rerank_k=rk)
             r = recall_of(np.asarray(ids), gt)
             qps = measure_qps(

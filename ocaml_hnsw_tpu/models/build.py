@@ -299,7 +299,7 @@ def insert_round(
             entry_d = jnp.where(beam_on[:, None], entry_d, INF)
 
             ef_l = efc if level == 0 else efc_upper
-            w_ids, w_d = beam_search_layer(
+            w_ids, w_d, _ = beam_search_layer(
                 vectors, scales, norms, adj_l, q, qn, entry_ids, entry_d,
                 ef_l, metric, expand=4, visited_bits=0,
             )
@@ -393,38 +393,56 @@ class BuildState:
         # nearest-M semantics keep the drop deterministic.
         self.rev_cap = max(8, config.M)
 
-    def prep(self, data: np.ndarray) -> np.ndarray:
+    def prep(self, data):
+        """Normalize (cosine) on whichever side the data lives."""
+        if isinstance(data, jnp.ndarray):
+            if self.config.metric == "cosine":
+                nrm = jnp.linalg.norm(data, axis=1, keepdims=True)
+                data = data / jnp.where(nrm == 0, 1.0, nrm)
+            return data.astype(jnp.float32)
         data = np.asarray(data, dtype=np.float32)
         if self.config.metric == "cosine":
             nrm = np.linalg.norm(data, axis=1, keepdims=True)
             data = data / np.where(nrm == 0, 1.0, nrm)
         return data
 
-    def add(self, data: np.ndarray) -> None:
-        """Insert `data` (any count) via padded fixed-shape rounds."""
+    def add(self, data) -> None:
+        """Insert `data` (host numpy OR a device array — the latter avoids the
+        slow host→device path entirely) via padded fixed-shape rounds."""
         cfg = self.config
         data = self.prep(data)
+        on_device = isinstance(data, jnp.ndarray)
         n_new = data.shape[0]
         levels = sample_levels(self.rng, n_new, cfg.mL, self.l_max)
+        if on_device:
+            # pad once so fixed-size dynamic slices never overrun
+            data = jnp.pad(data, ((0, self.round_size), (0, 0)))
         done = 0
         while done < n_new:
             n_cur = int(self.graph.n)
             if n_cur == 0:
+                first = data[0] if not on_device else np.asarray(data[0])
                 self.graph = bootstrap(
-                    self.graph, data[0], int(levels[0]), cfg.metric,
+                    self.graph, first, int(levels[0]), cfg.metric,
                     storage=cfg.storage,
                 )
                 done += 1
                 continue
             # doubling schedule: never insert more than the snapshot size
             count = min(self.round_size, n_new - done, max(n_cur, 1))
-            vecs = np.zeros((self.round_size, cfg.dim), np.float32)
+            if on_device:
+                vecs = jax.lax.dynamic_slice_in_dim(
+                    data, done, self.round_size, axis=0
+                )
+            else:
+                host = np.zeros((self.round_size, cfg.dim), np.float32)
+                host[:count] = data[done : done + count]
+                vecs = jnp.asarray(host)
             lvls = np.zeros((self.round_size,), np.int32)
-            vecs[:count] = data[done : done + count]
-            lvls[:count] = levels[done : done + count]
+            lvls[: min(count, n_new - done)] = levels[done : done + count]
             self.graph = insert_round(
                 self.graph,
-                jnp.asarray(vecs),
+                vecs,
                 jnp.asarray(lvls),
                 jnp.int32(n_cur),
                 jnp.int32(count),

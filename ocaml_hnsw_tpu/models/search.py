@@ -119,8 +119,9 @@ def beam_search_layer(
     expand: int = 1,
     visited_bits: int | None = None,
 ):
-    """Beam search one layer for B queries; returns (ids, d): i32/f32[B, ef],
-    sorted ascending by distance, -1/+inf padded."""
+    """Beam search one layer for B queries; returns (ids, d, iters):
+    i32/f32[B, ef] sorted ascending by distance (-1/+inf padded) plus the
+    number of loop iterations executed (observability: hop count)."""
     b = q.shape[0]
     n_cap = vectors.shape[0]
     e0 = entry_ids.shape[1]
@@ -210,10 +211,10 @@ def beam_search_layer(
         )
         return beam_ids, beam_d, beam_exp, visited, it + 1
 
-    beam_ids, beam_d, beam_exp, visited, _ = jax.lax.while_loop(
+    beam_ids, beam_d, beam_exp, visited, iters = jax.lax.while_loop(
         cond, body, (beam_ids, beam_d, beam_exp, visited, jnp.int32(0))
     )
-    return beam_ids, beam_d
+    return beam_ids, beam_d, iters
 
 
 def descend(graph: GraphTensors, q, qn, metric: str, stop_level: int = 0):
@@ -282,7 +283,7 @@ def knn_search(
     q = preprocess_queries(queries, metric)
     qn = query_norms(q, metric)
     cur, cur_d = descend(graph, q, qn, metric, stop_level=0)
-    ids, d = beam_search_layer(
+    ids, d, _ = beam_search_layer(
         graph.vectors,
         graph.scales,
         graph.norms,

@@ -1,0 +1,60 @@
+"""Native C++ baseline engine tests: recall vs brute force, agreement with the
+NumPy oracle's quality, and a build-throughput sanity check (this engine is
+the single-threaded CPU baseline that BASELINE.md's 10× target is scored
+against)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from ocaml_hnsw_tpu.oracle import bruteforce_knn, recall
+from ocaml_hnsw_tpu.bench.datasets import clustered, queries_like
+
+native = pytest.importorskip("ocaml_hnsw_tpu.native")
+if not native.native_available():
+    pytest.skip("g++ unavailable", allow_module_level=True)
+
+
+def test_recall_vs_bruteforce():
+    data = clustered(3000, 32, n_clusters=50, seed=0)
+    q = queries_like(data, 200, seed=1)
+    idx = native.NativeHNSW(dim=32, M=16, ef_construction=100)
+    idx.add_items(data)
+    assert idx.element_count == 3000
+    gt, _ = bruteforce_knn(data, q, 10, "l2")
+    ids, d = idx.knn_query(q, k=10, ef=64)
+    assert recall(ids, gt) >= 0.98
+    assert (np.diff(d, axis=1) >= -1e-6).all()
+
+
+def test_cosine():
+    data = clustered(1000, 16, n_clusters=16, seed=2)
+    q = queries_like(data, 100, seed=3)
+    idx = native.NativeHNSW(dim=16, metric="cosine", M=12, ef_construction=80)
+    idx.add_items(data)
+    gt, _ = bruteforce_knn(data, q, 10, "cosine")
+    ids, _ = idx.knn_query(q, k=10, ef=64)
+    assert recall(ids, gt) >= 0.95
+
+
+def test_self_hits_and_padding():
+    data = clustered(500, 8, n_clusters=8, seed=4)
+    idx = native.NativeHNSW(dim=8, M=8, ef_construction=50)
+    idx.add_items(data)
+    ids, d = idx.knn_query(data[:20], k=1, ef=32)
+    assert (ids[:, 0] == np.arange(20)).all()
+    np.testing.assert_allclose(d[:, 0], 0.0, atol=1e-5)
+    ids, d = idx.knn_query(data[:1], k=600, ef=600)
+    assert (ids[0, 500:] == -1).all()
+
+
+def test_build_rate_measured():
+    # not an assertion on speed — just that the baseline measurement works
+    data = clustered(2000, 128, n_clusters=32, seed=5)
+    idx = native.NativeHNSW(dim=128, M=16, ef_construction=200)
+    t0 = time.perf_counter()
+    idx.add_items(data)
+    vps = 2000 / (time.perf_counter() - t0)
+    assert vps > 0
+    print(f"native single-thread build: {vps:.0f} vps (128-d, efC=200)")
