@@ -260,12 +260,17 @@ class FlatIndex:
         self.rerank_k = 32
 
     def init_index(self, max_elements: int, rerank_k: int = 32,
+                   scan_dtype: str = "bf16", rerank_dtype: str = "f32",
                    **_ignored) -> None:
+        """scan_dtype: "bf16" or "int8" (config 4's quantized distances, 4x
+        less scan memory); rerank_dtype: "f32" or "bf16" (memory-constrained
+        high-dim datasets, e.g. 768-d CLIP at 5M+)."""
         from ocaml_hnsw_tpu.models.flat import empty_flat
 
         self.max_elements = max_elements
         self.rerank_k = rerank_k
-        self._flat = empty_flat(self.dim, max_elements)
+        self._flat = empty_flat(self.dim, max_elements, scan_dtype=scan_dtype,
+                                rerank_dtype=rerank_dtype)
 
     def _require_init(self):
         if self._flat is None:
@@ -349,9 +354,20 @@ class FlatIndex:
 
     def save_index(self, path) -> None:
         flat = self._require_init()
+        # numpy has no bfloat16: save bf16 arrays widened to f32 + a tag
+        def widen(a):
+            return np.asarray(a.astype(jnp.float32)) if a.dtype == jnp.bfloat16 \
+                else np.asarray(a)
+
         np.savez(
             path,
-            rerank=np.asarray(flat.rerank),
+            scan=widen(flat.scan),
+            scan_dtype=np.frombuffer(str(flat.scan.dtype).encode(), np.uint8),
+            rerank_dtype=np.frombuffer(
+                str(flat.rerank.dtype).encode(), np.uint8
+            ),
+            scales=np.asarray(flat.scales),
+            rerank=widen(flat.rerank),
             norms=np.asarray(flat.norms),
             n=np.asarray(flat.n),
             deleted=np.asarray(flat.deleted),
@@ -365,12 +381,18 @@ class FlatIndex:
             space = bytes(z["space"]).decode()
             if space != self.space:
                 raise ValueError(f"index file is {space}, this is {self.space}")
-            rerank = np.asarray(z["rerank"])
-            self._flat = __import__(
-                "ocaml_hnsw_tpu.models.flat", fromlist=["FlatTensors"]
-            ).FlatTensors(
-                scan=jnp.asarray(rerank).astype(jnp.bfloat16),
-                rerank=jnp.asarray(rerank),
+            from ocaml_hnsw_tpu.models.flat import FlatTensors
+
+            sd = bytes(z["scan_dtype"]).decode() if "scan_dtype" in z else "float32"
+            rd = bytes(z["rerank_dtype"]).decode() if "rerank_dtype" in z else "float32"
+            rerank = jnp.asarray(np.asarray(z["rerank"])).astype(rd)
+            scan = jnp.asarray(np.asarray(z["scan"])).astype(sd) if "scan" in z \
+                else rerank
+            self._flat = FlatTensors(
+                scan=scan,
+                scales=jnp.asarray(z["scales"]) if "scales" in z
+                else jnp.ones((rerank.shape[0],), jnp.float32),
+                rerank=rerank,
                 norms=jnp.asarray(z["norms"]),
                 n=jnp.asarray(z["n"]),
                 deleted=jnp.asarray(z["deleted"]),

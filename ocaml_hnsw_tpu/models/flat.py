@@ -32,11 +32,15 @@ from ocaml_hnsw_tpu.ops.distance import INF, HIGHEST
 
 
 class FlatTensors(NamedTuple):
-    """Flat index state.  scan: bf16[N_cap, D] MXU operand; rerank:
-    f32[N_cap, D] exact rows; norms: f32[N_cap] ‖x‖² (+inf on empty slots so
-    padding never scores); n: count; deleted: tombstones."""
+    """Flat index state.  scan: bf16[N_cap, D] (or int8 — BASELINE config 4's
+    quantized distance path, 4× less scan HBM for capacity at 10M scale) MXU
+    operand; scales: f32[N_cap] per-vector dequant scales (ones for bf16);
+    rerank: exact rows (f32, or bf16 when memory-constrained); norms:
+    f32[N_cap] ‖x‖² (+inf on empty slots so padding never scores); n: count;
+    deleted: tombstones."""
 
     scan: jnp.ndarray
+    scales: jnp.ndarray
     rerank: jnp.ndarray
     norms: jnp.ndarray
     n: jnp.ndarray
@@ -47,11 +51,18 @@ class FlatTensors(NamedTuple):
         return self.scan.shape[0]
 
 
-def empty_flat(dim: int, max_elements: int) -> FlatTensors:
-    n_cap = round_up(max(max_elements, 128), 128)
+def empty_flat(dim: int, max_elements: int, scan_dtype: str = "bf16",
+               rerank_dtype: str = "f32") -> FlatTensors:
+    # 4096-row capacity alignment so the Pallas int8 scan kernel's N-tiles
+    # (tn=4096, whose per-G-block output lane dim must be 128-divisible)
+    # divide evenly
+    n_cap = round_up(max(max_elements, 4096), 4096)
+    sd = {"bf16": jnp.bfloat16, "int8": jnp.int8}[scan_dtype]
+    rd = {"f32": jnp.float32, "bf16": jnp.bfloat16}[rerank_dtype]
     return FlatTensors(
-        scan=jnp.zeros((n_cap, dim), jnp.bfloat16),
-        rerank=jnp.zeros((n_cap, dim), jnp.float32),
+        scan=jnp.zeros((n_cap, dim), sd),
+        scales=jnp.ones((n_cap,), jnp.float32),
+        rerank=jnp.zeros((n_cap, dim), rd),
         norms=jnp.full((n_cap,), jnp.inf, jnp.float32),
         n=jnp.int32(0),
         deleted=jnp.zeros((n_cap,), jnp.bool_),
@@ -65,12 +76,23 @@ def flat_add(flat: FlatTensors, rows, start, count) -> FlatTensors:
     p = (start + jnp.arange(r, dtype=jnp.int32)).astype(jnp.int32)
     valid = jnp.arange(r) < count
     rows = rows.astype(jnp.float32)
+    if flat.scan.dtype == jnp.int8:
+        amax = jnp.max(jnp.abs(rows), axis=1)
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        srows = jnp.clip(
+            jnp.round(rows / scale[:, None]), -127, 127
+        ).astype(jnp.int8)
+    else:
+        scale = jnp.ones((r,), jnp.float32)
+        srows = rows.astype(flat.scan.dtype)
     return flat._replace(
         scan=flat.scan.at[p].set(
-            jnp.where(valid[:, None], rows.astype(jnp.bfloat16), flat.scan[p])
+            jnp.where(valid[:, None], srows, flat.scan[p])
         ),
+        scales=flat.scales.at[p].set(jnp.where(valid, scale, flat.scales[p])),
         rerank=flat.rerank.at[p].set(
-            jnp.where(valid[:, None], rows, flat.rerank[p])
+            jnp.where(valid[:, None], rows.astype(flat.rerank.dtype),
+                      flat.rerank[p])
         ),
         norms=flat.norms.at[p].set(
             jnp.where(valid, jnp.sum(rows * rows, axis=1), flat.norms[p])
@@ -98,7 +120,20 @@ def flat_search(
     q = preprocess_queries(queries, metric)
     rerank_k = max(k, min(rerank_k, flat.n_cap))
     if exact:
-        dot = jnp.einsum("bd,nd->bn", q, flat.rerank, precision=HIGHEST)
+        dot = jnp.einsum(
+            "bd,nd->bn", q, flat.rerank.astype(jnp.float32), precision=HIGHEST
+        )
+    elif flat.scan.dtype == jnp.int8:
+        # config 4 path: symmetric int8×int8 on the MXU, int32 accumulate,
+        # one f32 rescale by the per-query × per-vector scales
+        qmax = jnp.max(jnp.abs(q), axis=1)
+        qs = jnp.where(qmax > 0, qmax / 127.0, 1.0)
+        qi = jnp.clip(jnp.round(q / qs[:, None]), -127, 127).astype(jnp.int8)
+        idot = jax.lax.dot_general(
+            qi, flat.scan, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        dot = idot.astype(jnp.float32) * (qs[:, None] * flat.scales[None, :])
     else:
         dot = jax.lax.dot_general(
             q.astype(jnp.bfloat16),
@@ -121,8 +156,8 @@ def flat_search(
     else:
         _, ids = jax.lax.approx_min_k(scores, rerank_k, recall_target=0.95)
 
-    # exact f32 rerank of the candidates
-    rows = flat.rerank[ids]  # [B, rerank_k, D]
+    # exact rerank of the candidates (f32, or bf16 upcast when so stored)
+    rows = flat.rerank[ids].astype(jnp.float32)  # [B, rerank_k, D]
     if metric == "l2":
         diff = rows - q[:, None, :]
         d = jnp.sum(diff * diff, axis=-1)

@@ -12,9 +12,9 @@ from ocaml_hnsw_tpu.bench.datasets import clustered, queries_like
 
 @pytest.fixture(scope="module")
 def small_index():
-    data = clustered(800, 16, n_clusters=16, seed=0)
+    data = clustered(600, 16, n_clusters=16, seed=0)
     idx = Index(space="l2", dim=16)
-    idx.init_index(max_elements=1000, M=8, ef_construction=60, round_size=128)
+    idx.init_index(max_elements=800, M=8, ef_construction=48, round_size=128)
     idx.add_items(data)
     return data, idx
 
@@ -22,8 +22,8 @@ def small_index():
 class TestSurface:
     def test_counts(self, small_index):
         data, idx = small_index
-        assert idx.get_current_count() == 800
-        assert idx.get_max_elements() == 1000
+        assert idx.get_current_count() == 600
+        assert idx.get_max_elements() == 800
         assert idx.get_ids_list()[:3] == [0, 1, 2]
 
     def test_query_recall(self, small_index):
@@ -105,7 +105,7 @@ class TestCheckpoint:
         idx.save_index(path)
         idx2 = Index(space="l2", dim=16)
         idx2.load_index(path)
-        assert idx2.get_current_count() == 800
+        assert idx2.get_current_count() == 600
         q = queries_like(data, 40, seed=5)
         l1, d1 = idx.knn_query(q, k=10, ef=48)
         l2, d2 = idx2.knn_query(q, k=10, ef=48)

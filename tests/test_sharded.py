@@ -14,9 +14,9 @@ from ocaml_hnsw_tpu.bench.datasets import clustered, queries_like
 @pytest.fixture(scope="module")
 def sharded():
     assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
-    data = clustered(1600, 16, n_clusters=32, seed=0)
+    data = clustered(800, 16, n_clusters=32, seed=0)
     idx = ShardedIndex(space="l2", dim=16, mesh=make_mesh(8))
-    idx.init_index(max_elements=2000, M=8, ef_construction=60, round_size=64)
+    idx.init_index(max_elements=1000, M=8, ef_construction=40, round_size=64)
     idx.add_items(data)
     return data, idx
 
@@ -24,7 +24,7 @@ def sharded():
 class TestShardedQuery:
     def test_recall(self, sharded):
         data, idx = sharded
-        assert idx.get_current_count() == 1600
+        assert idx.get_current_count() == 800
         q = queries_like(data, 100, seed=1)
         gt, _ = bruteforce_knn(data, q, 10, "l2")
         labels, dists = idx.knn_query(q, k=10, ef=48)
@@ -57,13 +57,13 @@ class TestShardedQuery:
 
 class TestShardedIncremental:
     def test_two_phase(self):
-        data = clustered(800, 8, n_clusters=16, seed=3)
+        data = clustered(400, 8, n_clusters=16, seed=3)
         idx = ShardedIndex(space="l2", dim=8, mesh=make_mesh(8))
-        idx.init_index(max_elements=1000, M=8, ef_construction=40,
+        idx.init_index(max_elements=500, M=8, ef_construction=32,
                        round_size=32)
-        idx.add_items(data[:500])
-        idx.add_items(data[500:])
-        assert idx.get_current_count() == 800
+        idx.add_items(data[:250])
+        idx.add_items(data[250:])
+        assert idx.get_current_count() == 400
         q = queries_like(data, 60, seed=4)
         gt, _ = bruteforce_knn(data, q, 10, "l2")
         labels, _ = idx.knn_query(q, k=10, ef=48)
@@ -73,9 +73,9 @@ class TestShardedIncremental:
 class TestMeshSizes:
     @pytest.mark.parametrize("n_dev", [1, 2, 4])
     def test_small_meshes(self, n_dev):
-        data = clustered(300, 8, n_clusters=8, seed=5)
+        data = clustered(200, 8, n_clusters=8, seed=5)
         idx = ShardedIndex(space="l2", dim=8, mesh=make_mesh(n_dev))
-        idx.init_index(max_elements=400, M=8, ef_construction=40,
+        idx.init_index(max_elements=300, M=8, ef_construction=32,
                        round_size=32)
         idx.add_items(data)
         labels, _ = idx.knn_query(data[:10], k=1, ef=32)
