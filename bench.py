@@ -16,12 +16,24 @@ import os
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# name: (n, dim, metric, round_size, efc, engines, hnsw_storage, scan_dtype,
+#        rerank_dtype) — engines/dtypes sized to one v5e chip's 16GB HBM
 CONFIGS = {
-    # name: (n, dim, metric, round_size, efc)
-    "random10k": (10_000, 128, "l2", 512, 64),       # BASELINE config 1 shape
-    "sift100k": (100_000, 128, "l2", 1024, 200),
-    "sift1m": (1_000_000, 128, "l2", 2048, 200),     # BASELINE config 2 shape
-    "glove1m": (1_183_514, 100, "cosine", 2048, 200),  # BASELINE config 3 shape
+    "random10k": (10_000, 128, "l2", 512, 64,
+                  ("hnsw", "flat"), "f32", "bf16", "f32"),  # BASELINE cfg 1
+    "sift100k": (100_000, 128, "l2", 1024, 200,
+                 ("hnsw", "flat"), "f32", "bf16", "f32"),
+    "sift1m": (1_000_000, 128, "l2", 2048, 200,
+               ("hnsw", "flat"), "f32", "bf16", "f32"),     # BASELINE cfg 2
+    "glove1m": (1_183_514, 100, "cosine", 2048, 200,
+                ("hnsw", "flat"), "f32", "bf16", "f32"),    # BASELINE cfg 3
+    # config 4: int8-quantized distances; HNSW adjacency at 10M exceeds one
+    # chip alongside the flat engine — flat (int8 scan + bf16 rerank) only
+    "deep10m": (10_000_000, 96, "l2", 2048, 200,
+                ("flat",), "int8", "int8", "bf16"),
+    # config 5 stand-in at 1M rows (full 5M x 768 build exceeds a bench run)
+    "laion1m": (1_000_000, 768, "cosine", 2048, 200,
+                ("flat",), "bf16", "int8", "bf16"),
 }
 
 TARGET_QPS = 100_000.0  # BASELINE.json north_star
@@ -37,7 +49,8 @@ def main():
 
     from ocaml_hnsw_tpu.bench.harness import run_config
 
-    n, dim, metric, round_size, efc = CONFIGS[args.config]
+    (n, dim, metric, round_size, efc, engines, storage, scan_dtype,
+     rerank_dtype) = CONFIGS[args.config]
     result = run_config(
         args.config,
         n=n,
@@ -47,6 +60,10 @@ def main():
         round_size=round_size,
         ef_construction=efc,
         qps_batch=args.qps_batch,
+        engines=engines,
+        storage=storage,
+        scan_dtype=scan_dtype,
+        rerank_dtype=rerank_dtype,
         verbose=not args.quiet,
     )
     hnsw = result["engines"].get("hnsw", {})

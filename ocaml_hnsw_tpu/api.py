@@ -23,7 +23,6 @@ from ocaml_hnsw_tpu.config import HnswConfig, METRICS
 from ocaml_hnsw_tpu.models.build import BuildState
 from ocaml_hnsw_tpu.models.search import knn_search
 from ocaml_hnsw_tpu.models.graph import GraphTensors
-from ocaml_hnsw_tpu.utils import round_up
 from ocaml_hnsw_tpu import io as index_io
 
 

@@ -24,7 +24,8 @@ from ocaml_hnsw_tpu.oracle.bruteforce import recall as recall_of
 from ocaml_hnsw_tpu.bench import datasets
 
 
-def build_flat(data, metric: str):
+def build_flat(data, metric: str, scan_dtype: str = "bf16",
+               rerank_dtype: str = "f32"):
     """Load a dataset (host numpy or device array) into FlatTensors."""
     if not isinstance(data, jnp.ndarray):
         data = np.asarray(data, dtype=np.float32)
@@ -33,7 +34,8 @@ def build_flat(data, metric: str):
         nrm = xp.linalg.norm(data, axis=1, keepdims=True)
         data = data / xp.where(nrm == 0, 1.0, nrm)
     n = data.shape[0]
-    flat = empty_flat(data.shape[1], n)
+    flat = empty_flat(data.shape[1], n, scan_dtype=scan_dtype,
+                      rerank_dtype=rerank_dtype)
     chunk = 262144
     if isinstance(data, jnp.ndarray):
         data = jnp.pad(data.astype(jnp.float32), ((0, chunk), (0, 0)))
@@ -102,6 +104,8 @@ def run_config(
     qps_batch: int = 4096,
     seed: int = 7,
     storage: str = "f32",
+    scan_dtype: str = "bf16",
+    rerank_dtype: str = "f32",
     engines=("hnsw", "flat"),
     verbose: bool = True,
 ) -> dict:
@@ -118,7 +122,8 @@ def run_config(
     queries = make_q(n_queries, qseed=seed + 1)
 
     t0 = time.perf_counter()
-    flat = build_flat(data, metric)
+    flat = build_flat(data, metric, scan_dtype=scan_dtype,
+                      rerank_dtype=rerank_dtype)
     np.asarray(flat.n)
     flat_build_s = time.perf_counter() - t0
     log(f"flat loaded in {flat_build_s:.1f}s")

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ocaml_hnsw_tpu.config import HnswConfig
-from ocaml_hnsw_tpu.models.graph import GraphTensors, empty_graph, capacity
+from ocaml_hnsw_tpu.models.graph import GraphTensors, empty_graph
 from ocaml_hnsw_tpu.models.search import beam_search_layer, _greedy_level
 from ocaml_hnsw_tpu.ops.distance import (
     dists_to_ids,

@@ -26,7 +26,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.pallas import tpu as pltpu  # noqa: F401 (VMEM specs)
 
 
 def _kernel(q_ref, qs_ref, x_ref, xs_ref, xn_ref, min_ref, arg_ref, *,

@@ -22,8 +22,6 @@ mesh (tests), or a real pod slice — only the Mesh changes.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

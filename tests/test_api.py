@@ -249,3 +249,24 @@ class TestFlatIndex:
         gt, _ = bruteforce_knn(data, q, 10, "cosine")
         labels, _ = fi.knn_query(q, k=10)
         assert recall(labels, gt) >= 0.97
+
+
+class TestStreaming:
+    def test_interleaved_inserts_and_queries(self):
+        # BASELINE config 5 shape: streaming batched queries + incremental
+        # inserts against the same index object
+        data = clustered(600, 16, n_clusters=12, seed=30)
+        idx = Index(space="cosine", dim=16)
+        idx.init_index(max_elements=700, M=8, ef_construction=40,
+                       round_size=64)
+        idx.add_items(data[:200])
+        for step in range(4):
+            lo = 200 + step * 100
+            q = queries_like(data[:lo], 20, seed=31 + step)
+            labels, dists = idx.knn_query(q, k=5, ef=32)
+            assert (labels[:, 0] >= 0).all()
+            idx.add_items(data[lo : lo + 100])
+        assert idx.get_current_count() == 600
+        gt, _ = bruteforce_knn(data, data[:50], 1, "cosine")
+        labels, _ = idx.knn_query(data[:50], k=1, ef=48)
+        assert (labels[:, 0] == np.arange(50)).mean() >= 0.95
