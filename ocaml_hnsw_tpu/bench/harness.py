@@ -51,17 +51,55 @@ def build_flat(data, metric: str, scan_dtype: str = "bf16",
     return flat
 
 
-def device_ground_truth(flat, queries, k: int, metric: str,
-                        chunk: int = 256) -> np.ndarray:
-    """Exact kNN on the accelerator (f32 HIGHEST scan), chunked over queries."""
+def _gt_slab(flat, qc, k: int, metric: str, start, n_slab: int):
+    """Exact top-k of one query chunk against one N-slab (f32 HIGHEST)."""
+    from ocaml_hnsw_tpu.models.search import preprocess_queries
+    from ocaml_hnsw_tpu.ops.distance import HIGHEST, INF
+
+    q = preprocess_queries(qc, metric)
+    rows = jax.lax.dynamic_slice_in_dim(
+        flat.rerank, start, n_slab, axis=0
+    ).astype(jnp.float32)
+    dot = jnp.einsum("bd,nd->bn", q, rows, precision=HIGHEST)
+    if metric == "l2":
+        nn = jnp.sum(rows * rows, axis=1)
+        d = nn[None, :] - 2.0 * dot
+    else:
+        d = -dot
+    ids_global = start + jnp.arange(n_slab)
+    occupied = ids_global < flat.n
+    d = jnp.where(occupied[None, :] & ~flat.deleted[ids_global][None, :],
+                  d, INF)
+    neg, idx = jax.lax.top_k(-d, k)
+    return (start + idx).astype(jnp.int32), -neg
+
+
+_gt_slab_jit = jax.jit(_gt_slab, static_argnames=("k", "metric", "n_slab"))
+
+
+def device_ground_truth(flat, queries, k: int, metric: str, chunk: int = 256,
+                        n_slab: int = 1 << 20) -> np.ndarray:
+    """Exact kNN on the accelerator, chunked over queries AND over N slabs so
+    the [chunk, N] score matrix never exceeds ~1 GB (10M-row configs)."""
     queries = jnp.asarray(queries)
     nq = queries.shape[0]
     queries = jnp.pad(queries, ((0, chunk), (0, 0)))
+    n_cap = flat.n_cap
+    n_slab = min(n_slab, n_cap)
     out = []
     for i in range(0, nq, chunk):
         qc = jax.lax.dynamic_slice_in_dim(queries, i, chunk, axis=0)
-        ids, _ = flat_search(flat, qc, k=k, metric=metric,
-                             rerank_k=k, exact=True)
+        slab_ids, slab_d = [], []
+        for start in range(0, n_cap, n_slab):
+            width = min(n_slab, n_cap - start)
+            ids, d = _gt_slab_jit(flat, qc, k=k, metric=metric,
+                                  start=jnp.int32(start), n_slab=width)
+            slab_ids.append(ids)
+            slab_d.append(d)
+        all_ids = jnp.concatenate(slab_ids, axis=1)
+        all_d = jnp.concatenate(slab_d, axis=1)
+        neg, idx = jax.lax.top_k(-all_d, k)
+        ids = jnp.take_along_axis(all_ids, idx, axis=1)
         out.append(np.asarray(ids)[: min(chunk, nq - i)])
     return np.concatenate(out)
 
@@ -127,6 +165,8 @@ def run_config(
     np.asarray(flat.n)
     flat_build_s = time.perf_counter() - t0
     log(f"flat loaded in {flat_build_s:.1f}s")
+    if "hnsw" not in engines:
+        data = make_q = None  # free the raw f32 dataset (HBM headroom at 10M)
     log("computing exact ground truth on device")
     gt = device_ground_truth(flat, queries, k, metric)
 
