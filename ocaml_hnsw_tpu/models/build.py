@@ -13,11 +13,11 @@ R simultaneous inserts, all inside one jitted step:
      pairwise-distance loop becomes one [R, K, K] batched matmul plus a
      fixed-length admit scan,
   4. edges are applied with **conflict-free deterministic scatter**: forward
-     rows are unique by construction; reverse edges are grouped per target by
-     a (target, distance) lexsort so intra-round order never matters, and
-     over-full rows are re-pruned with the same heuristic (Alg 1's shrink) —
-     SURVEY.md §5.2's "race surface" is closed by construction, verified by
-     the permutation-invariance test.
+     rows are unique by construction; reverse edges get per-target slots from
+     a column-by-column running counter (nearest-first, since selection
+     columns are distance-ascending), and over-full rows are re-pruned with
+     the same heuristic (Alg 1's shrink) — SURVEY.md §5.2's "race surface" is
+     closed by construction, verified by determinism tests.
 
 Round sizes follow a doubling schedule capped at `round_size` so points only
 ever connect to an already-dense snapshot; the jitted step has a single static
@@ -131,11 +131,12 @@ def apply_edges(
 ):
     """Forward + reverse edge application with deterministic conflict handling.
 
-    Reverse edges targeting the same node are grouped by a (target, distance)
-    lexsort, capped at rev_cap nearest per round, then merged into the target's
-    row: plain append when it fits (sequential Alg 1 semantics), heuristic
-    re-prune (Alg 1's shrink) when over-full.  Result is independent of
-    intra-round point order.
+    Reverse edges targeting the same node get slots from a per-target running
+    counter (column order ≈ nearest first), capped at rev_cap per round, then
+    merged into the target's row: plain append when it fits (sequential Alg 1
+    semantics), heuristic re-prune (Alg 1's shrink) when over-full.  The
+    result is a pure function of the round's inputs — intra-round point order
+    cannot matter.
     """
     r, m = sel_ids.shape
     n_cap = adj.shape[0]
@@ -145,27 +146,35 @@ def apply_edges(
     rows = jnp.where(mask[:, None], fwd, adj[p_ids])
     adj = adj.at[p_ids].set(rows)
 
-    # ---- reverse pairs (e ← p), grouped by target
+    # ---- reverse pairs (e ← p), grouped by target.
+    # Slot assignment runs column-by-column with a running per-target counter
+    # instead of a global (target, distance) lexsort: 1-D sorts/scans on TPU
+    # are serial (a 65k-element lexsort measured 1.8s — more than the whole
+    # beam search).  Columns of sel_ids are distance-ascending (selection is
+    # compacted nearest-first), so column order ≈ nearest-first per target and
+    # the rev_cap drop still sheds the farthest edges; the result is a pure
+    # function of (sel_ids, p_ids) — intra-round order still can't matter.
     pair_valid = mask[:, None] & (sel_ids >= 0)
-    e_flat = jnp.where(pair_valid, sel_ids, pad_row).reshape(-1)
-    d_flat = jnp.where(pair_valid, sel_d, INF).reshape(-1)
-    p_flat = jnp.broadcast_to(p_ids[:, None], (r, m)).reshape(-1)
-    order = jnp.lexsort((d_flat, e_flat))  # primary: target; tie: distance
-    e_s, d_s, p_s = e_flat[order], d_flat[order], p_flat[order]
-    kk = e_s.shape[0]
-    idxs = jnp.arange(kk, dtype=jnp.int32)
-    is_start = jnp.concatenate([jnp.array([True]), e_s[1:] != e_s[:-1]])
-    seg_start = jax.lax.cummax(jnp.where(is_start, idxs, 0))
-    pos = idxs - seg_start
-    keep = (e_s != pad_row) & (pos < rev_cap)  # cap: nearest rev_cap per node
+    e_cols = jnp.where(pair_valid, sel_ids, pad_row)  # [R, M]
+    kk = r * m
+    cnt = jnp.zeros((n_cap,), jnp.int32)
     rev = jnp.full((n_cap, rev_cap), -1, jnp.int32)
-    rev = rev.at[
-        jnp.where(keep, e_s, pad_row), jnp.where(keep, pos, 0)
-    ].max(jnp.where(keep, p_s, -1))
+    for j in range(m):
+        e_col = e_cols[:, j]  # [R]
+        valid = e_col != pad_row
+        base = cnt[e_col]
+        # rank among duplicates of the same target within this column
+        same = (e_col[None, :] == e_col[:, None]) & valid[:, None]
+        dup_rank = jnp.sum(same & (jnp.arange(r)[None, :] <
+                                   jnp.arange(r)[:, None]), axis=1)
+        pos = base + dup_rank
+        keep = valid & (pos < rev_cap)
+        rev = rev.at[
+            jnp.where(keep, e_col, pad_row), jnp.where(keep, pos, 0)
+        ].max(jnp.where(keep, p_ids, -1))
+        cnt = cnt.at[e_col].add(valid.astype(jnp.int32))
 
     # ---- affected target rows
-    ones = jnp.where(e_s != pad_row, 1, 0)
-    cnt = jnp.zeros((n_cap,), jnp.int32).at[e_s].add(ones)
     cnt = cnt.at[pad_row].set(0)
     (aff,) = jnp.nonzero(cnt > 0, size=kk, fill_value=pad_row)
 
@@ -191,7 +200,11 @@ def apply_edges(
     sc_valid = sc_ids >= 0
     svec = gather_dequant(vectors, scales, sc_ids)
     snorm = norms[jnp.maximum(sc_ids, 0)]
-    pair2 = pairwise_dists(svec, snorm, metric)
+    # shrink-only pruning: 1-pass MXU precision — ~0.4% error flips only
+    # near-tie diversity decisions, and these tiny batched matmuls at
+    # 3-pass HIGHEST dominated the whole round (measured ~2s at R=2048)
+    pair2 = pairwise_dists(svec, snorm, metric,
+                           precision=jax.lax.Precision.DEFAULT)
     sel2 = heuristic_admit(sc_d, pair2, sc_valid, m_cap, keep_pruned)
     heur_ids, _ = compact_by_mask(sc_ids, sc_d, sel2, m_cap)
 
@@ -391,7 +404,7 @@ class BuildState:
         # heuristic's pairwise matmul is O((m_cap + rev_cap)^2) per affected
         # row, and >M new back-edges landing on one node in one round is rare;
         # nearest-M semantics keep the drop deterministic.
-        self.rev_cap = max(8, config.M)
+        self.rev_cap = 8
 
     def prep(self, data):
         """Normalize (cosine) on whichever side the data lives."""

@@ -77,6 +77,7 @@ def pairwise_dists(
     x: jax.Array,  # f32[B, K, D] candidate vectors
     x_norms: jax.Array,  # f32[B, K]  ||x||² per candidate (zeros for ip/cosine)
     metric: str,
+    precision=HIGHEST,
 ) -> jax.Array:
     """All-pairs distances within each row's candidate set: f32[B, K, K].
 
@@ -85,7 +86,7 @@ def pairwise_dists(
     (SURVEY.md §7 step 4).  The [B,K,K,D] diff form would blow memory, so this
     stays a matmul at HIGHEST precision.
     """
-    dot = jnp.einsum("bkd,bjd->bkj", x, x, precision=HIGHEST)
+    dot = jnp.einsum("bkd,bjd->bkj", x, x, precision=precision)
     if metric == "l2":
         d = x_norms[:, :, None] - 2.0 * dot + x_norms[:, None, :]
         return jnp.maximum(d, 0.0)

@@ -167,7 +167,7 @@ class ShardedIndex:
             np.random.RandomState(random_seed + i) for i in range(s)
         ]
         self._shard_n = np.zeros(s, dtype=np.int64)  # host mirror of n
-        self.rev_cap = max(8, M)
+        self.rev_cap = 8
 
     def _require_init(self):
         if self._stacked is None:
