@@ -13,10 +13,7 @@ of programs per (batch, k, ef).
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ocaml_hnsw_tpu.config import HnswConfig, METRICS
@@ -198,9 +195,19 @@ class Index:
         return self._labels.tolist()
 
     def get_items(self, ids) -> np.ndarray:
+        """Stored vectors as f32 (int8 storage dequantized via per-row scales;
+        cosine rows are the normalized form, matching hnswlib)."""
+        from ocaml_hnsw_tpu.ops.distance import gather_dequant
+
         st = self._require_init()
-        iids = np.array([self._id_of(l) for l in np.asarray(ids).reshape(-1)])
-        return np.asarray(st.graph.vectors)[iids]
+        iids = np.array(
+            [self._id_of(l) for l in np.asarray(ids).reshape(-1)],
+            dtype=np.int64,
+        )
+        rows = gather_dequant(
+            st.graph.vectors, st.graph.scales, jnp.asarray(iids[None, :])
+        )[0]
+        return np.asarray(rows, dtype=np.float32)
 
     def _id_of(self, label) -> int:
         try:
@@ -294,6 +301,8 @@ class FlatIndex:
             labels = np.arange(n_cur, n_cur + n_new, dtype=np.int64)
         else:
             labels = np.asarray(ids, dtype=np.int64).reshape(-1)
+            if labels.shape[0] != n_new:
+                raise ValueError("ids length must match data rows")
         clash = [int(l) for l in labels if int(l) in self._label_to_id]
         if clash:
             raise ValueError(f"duplicate labels not supported: {clash[:5]}")
@@ -358,8 +367,7 @@ class FlatIndex:
             return np.asarray(a.astype(jnp.float32)) if a.dtype == jnp.bfloat16 \
                 else np.asarray(a)
 
-        np.savez(
-            path,
+        arrays = dict(
             scan=widen(flat.scan),
             scan_dtype=np.frombuffer(str(flat.scan.dtype).encode(), np.uint8),
             rerank_dtype=np.frombuffer(
@@ -374,6 +382,10 @@ class FlatIndex:
             max_elements=np.int64(self.max_elements),
             space=np.frombuffer(self.space.encode(), dtype=np.uint8),
         )
+        # open handle: keep save("x.bin")/load("x.bin") symmetric (np.savez
+        # appends ".npz" to bare string paths)
+        with open(path, "wb") as f:
+            np.savez(f, **arrays)
 
     def load_index(self, path, max_elements: int | None = None) -> None:
         with np.load(path) as z:
@@ -408,25 +420,3 @@ class BFIndex(FlatIndex):
     scan + exact top_k.  Same surface as FlatIndex."""
 
     exact = True
-
-
-@partial(jax.jit, static_argnames=("k", "metric"))
-def _bf_knn(vectors, queries, deleted, k: int, metric: str):
-    from ocaml_hnsw_tpu.models.search import preprocess_queries
-    from ocaml_hnsw_tpu.ops.distance import query_norms
-
-    q = preprocess_queries(queries, metric)
-    dot = jnp.einsum("bd,nd->bn", q, vectors,
-                     precision=jax.lax.Precision.HIGHEST)
-    if metric == "l2":
-        d = (
-            jnp.sum(vectors * vectors, axis=1)[None, :]
-            - 2.0 * dot
-            + query_norms(q, metric)[:, None]
-        )
-        d = jnp.maximum(d, 0.0)
-    else:
-        d = 1.0 - dot
-    d = jnp.where(deleted[None, :], jnp.inf, d)
-    neg, ids = jax.lax.top_k(-d, k)
-    return ids, -neg

@@ -51,7 +51,10 @@ def save_index_file(path, graph: GraphTensors, config: HnswConfig,
         name, keys, pos, has_gauss, gauss = rng_state
         arrays["rng_keys"] = keys
         arrays["rng_rest"] = np.array([pos, has_gauss, gauss], dtype=np.float64)
-    np.savez(path, **arrays)
+    # np.savez(path, ...) appends ".npz" when the name lacks it, breaking the
+    # save("idx.bin") → load("idx.bin") round-trip; an open handle does not.
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
 
 
 def load_index_file(path):

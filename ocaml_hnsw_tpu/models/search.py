@@ -280,6 +280,12 @@ def knn_search(
         expand = 4
     if visited_bits is None:
         visited_bits = 0  # beam-only dedup: identical trajectory, ~3x faster
+    if max_iters is None:
+        # Finite safety cap so tie-churn (equal-distance re-admission under
+        # beam-only dedup) provably terminates: a converging search expands
+        # ≲ 2·ef nodes at ef/expand-ish iterations; 8× that is far outside
+        # normal convergence yet bounds the pathological all-duplicates case.
+        max_iters = max(64, (8 * ef) // max(1, expand))
     q = preprocess_queries(queries, metric)
     qn = query_norms(q, metric)
     cur, cur_d = descend(graph, q, qn, metric, stop_level=0)

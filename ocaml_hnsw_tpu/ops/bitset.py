@@ -52,14 +52,18 @@ def bitset_test(bits: jax.Array, idx: jax.Array, valid: jax.Array) -> jax.Array:
 
 
 def bitset_set(bits: jax.Array, idx: jax.Array, mask: jax.Array) -> jax.Array:
-    """Set bits of `idx[b, k]` where `mask[b, k]` (see OR-via-add note above)."""
+    """Set bits of `idx[b, k]` where `mask[b, k]` (see OR-via-add note above).
+
+    Word indices DO repeat (distinct ids sharing a 32-bit word; masked-off
+    entries all collapsing to word 0 with value 0), so this must be a plain
+    accumulating scatter-add — `unique_indices=True` would be undefined
+    behavior here.  Bit positions within a word are still unique after the
+    caller's dedup, so accumulation equals bitwise OR."""
     safe = jnp.maximum(idx, 0)
     word = jnp.where(mask, safe >> 5, 0)
     bit = (safe & 31).astype(jnp.uint32)
     val = jnp.where(mask, jnp.uint32(1) << bit, jnp.uint32(0))
-    return jax.vmap(lambda b, w, v: b.at[w].add(v, unique_indices=True))(
-        bits, word, val
-    )
+    return jax.vmap(lambda b, w, v: b.at[w].add(v))(bits, word, val)
 
 
 def first_occurrence_mask(ids: jax.Array) -> jax.Array:

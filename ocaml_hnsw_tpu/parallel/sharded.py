@@ -190,6 +190,13 @@ class ShardedIndex:
             labels = np.arange(n_tot, n_tot + n_new, dtype=np.int64)
         else:
             labels = np.asarray(ids, dtype=np.int64).reshape(-1)
+            if labels.shape[0] != n_new:
+                raise ValueError("ids length must match data rows")
+        clash = np.intersect1d(labels, self._labels)
+        if clash.size:
+            raise ValueError(
+                f"duplicate labels not supported: {clash[:5].tolist()}"
+            )
         self._labels = np.concatenate([self._labels, labels])
 
         # round-robin assignment by global insertion order

@@ -110,3 +110,49 @@ class TestEdgeCases:
         ids, _ = knn_search(g, jnp.asarray(q), k=5, ef=32, metric="l2",
                             max_iters=2)
         assert np.asarray(ids).shape == (5, 5)
+
+
+class TestVisitedModes:
+    """The README/PARITY claim: beam-only dedup (visited_bits=0) follows the
+    same beam trajectory as an exact visited set.  These tests back it with
+    bit-for-bit comparisons plus integration coverage of the hashed mode."""
+
+    @pytest.mark.parametrize("metric", ["l2", "cosine"])
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_beam_only_equals_exact_bitset(self, metric, seed):
+        data, o, g = build_pair(n=1200, dim=16, metric=metric,
+                                data_seed=seed)
+        q = queries_like(data, 200, seed=seed + 10)
+        kw = dict(k=10, ef=48, metric=metric)
+        ids0, d0 = knn_search(g, jnp.asarray(q), visited_bits=0, **kw)
+        ids1, d1 = knn_search(g, jnp.asarray(q), visited_bits=None,
+                              **kw)
+        np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids1))
+        np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+    def test_hashed_bitset_recall_close_to_exact(self):
+        from ocaml_hnsw_tpu.models.search import pick_visited_bits
+
+        data, o, g = build_pair(n=2000, dim=16)
+        q = queries_like(data, 200, seed=11)
+        gt, _ = bruteforce_knn(data, q, 10, "l2")
+        bits = pick_visited_bits(g.n_cap, ef=48, deg=g.adj0.shape[1])
+        # small index ⇒ exact is chosen; force a hashed bitmap as well
+        ids_h, _ = knn_search(g, jnp.asarray(q), k=10, ef=48, metric="l2",
+                              visited_bits=bits if bits else 16)
+        ids_e, _ = knn_search(g, jnp.asarray(q), k=10, ef=48, metric="l2",
+                              visited_bits=None)
+        r_h = recall(np.asarray(ids_h), gt)
+        r_e = recall(np.asarray(ids_e), gt)
+        # ~1%-collision sizing ⇒ recall within a ±0.02 band of exact
+        assert r_h >= r_e - 0.02, (r_h, r_e)
+
+    def test_hashed_bitset_no_duplicate_results(self):
+        data, o, g = build_pair(n=1500, dim=16)
+        q = queries_like(data, 64, seed=12)
+        ids, _ = knn_search(g, jnp.asarray(q), k=10, ef=48, metric="l2",
+                            visited_bits=16)
+        ids = np.asarray(ids)
+        for row in ids:
+            real = row[row >= 0]
+            assert len(set(real.tolist())) == len(real)
