@@ -34,6 +34,10 @@ def _pad_batch(n: int) -> int:
 class Index:
     """TPU-native HNSW index with the canonical hnswlib-style surface."""
 
+    #: graphs at or above this size use the MXU seed scan for layer-0 entry
+    #: (below it, greedy descent's 1-entry beam is cheap and parity-exact)
+    SEED_THRESHOLD = 4096
+
     def __init__(self, space: str, dim: int):
         if space not in METRICS:
             raise ValueError(f"space must be one of {METRICS}, got {space!r}")
@@ -42,6 +46,7 @@ class Index:
         self._state: BuildState | None = None
         self._labels = np.zeros((0,), dtype=np.int64)
         self._label_to_id: dict[int, int] = {}
+        self._seeds = None  # SeedIndex cache; invalidated on every mutation
         self.ef = 10
 
     # ------------------------------------------------------------- lifecycle
@@ -103,6 +108,7 @@ class Index:
         if clash:
             raise ValueError(f"duplicate labels not supported: {clash[:5]}")
         st.add(data)
+        self._seeds = None  # upper-layer membership may have changed
         for off, lab in enumerate(labels):
             self._label_to_id[int(lab)] = n_cur + off
         self._labels = np.concatenate([self._labels, labels])
@@ -157,13 +163,30 @@ class Index:
         )
         new_state.rng = st.rng  # continue the level-sampling stream
         self._state = new_state
+        self._seeds = None
 
     # --------------------------------------------------------------- queries
     def set_ef(self, ef: int) -> None:
         self.ef = int(ef)
 
-    def knn_query(self, data, k: int = 1, ef: int | None = None, **_ignored):
-        """Returns (labels i64[Q, k], dists f32[Q, k]); -1 label on padding."""
+    def _seed_index(self):
+        """Lazy SeedIndex for the MXU entry scan on large graphs (None when
+        too small or no upper-layer nodes exist)."""
+        st = self._require_init()
+        if int(st.graph.n) < self.SEED_THRESHOLD:
+            return None
+        if self._seeds is None:
+            from ocaml_hnsw_tpu.models.search import build_seed_index
+
+            self._seeds = build_seed_index(st.graph, self.space)
+        return self._seeds
+
+    def knn_query(self, data, k: int = 1, ef: int | None = None,
+                  max_iters: int | None = None, **_ignored):
+        """Returns (labels i64[Q, k], dists f32[Q, k]); -1 label on padding.
+
+        max_iters optionally bounds the lockstep beam loop (throughput knob;
+        None = run to convergence)."""
         st = self._require_init()
         if int(st.graph.n) == 0:
             raise RuntimeError("index is empty")
@@ -178,6 +201,8 @@ class Index:
             k=k,
             ef=max(ef if ef is not None else self.ef, k),
             metric=self.space,
+            max_iters=max_iters,
+            seeds=self._seed_index(),
         )
         ids = np.asarray(ids)[:q_n]
         dists = np.asarray(dists)[:q_n]
@@ -240,6 +265,7 @@ class Index:
         if rng_state is not None:
             st.rng.set_state(rng_state)
         self._state = st
+        self._seeds = None
         self._labels = labels
         self._label_to_id = {int(l): i for i, l in enumerate(labels)}
         if max_elements is not None and max_elements > saved_max:

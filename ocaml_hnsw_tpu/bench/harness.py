@@ -173,6 +173,8 @@ def run_config(
     results = {}
 
     if "hnsw" in engines:
+        from ocaml_hnsw_tpu.models.search import build_seed_index
+
         cfg = HnswConfig(dim=dim, metric=metric, M=M,
                          ef_construction=ef_construction, storage=storage)
         log(f"hnsw build: n={n} dim={dim} metric={metric} M={M} "
@@ -183,19 +185,23 @@ def run_config(
         np.asarray(state.graph.n)
         build_s = time.perf_counter() - t0
         log(f"hnsw built in {build_s:.1f}s = {n / build_s:.0f} vectors/s")
+        seeds = build_seed_index(state.graph, metric) if n >= 4096 else None
         sweep = []
         chosen = None
-        for ef in ef_sweep:
+        for entry in ef_sweep:
+            ef, mi = entry if isinstance(entry, tuple) else (entry, None)
             ids, _ = knn_search(state.graph, queries, k=k, ef=ef,
-                                metric=metric)
+                                metric=metric, max_iters=mi, seeds=seeds)
             r = recall_of(np.asarray(ids), gt)
             qps = measure_qps(
-                lambda q, ef=ef: knn_search(state.graph, q, k=k, ef=ef,
-                                            metric=metric)[0],
+                lambda q, ef=ef, mi=mi: knn_search(
+                    state.graph, q, k=k, ef=ef, metric=metric, max_iters=mi,
+                    seeds=seeds)[0],
                 queries, batch=qps_batch,
             )
-            sweep.append({"ef": ef, "recall": round(r, 4), "qps": round(qps)})
-            log(f"hnsw ef={ef}: recall@{k}={r:.4f} qps={qps:.0f}")
+            sweep.append({"ef": ef, "max_iters": mi, "recall": round(r, 4),
+                          "qps": round(qps)})
+            log(f"hnsw ef={ef} mi={mi}: recall@{k}={r:.4f} qps={qps:.0f}")
             if chosen is None and r >= target_recall:
                 chosen = sweep[-1]
                 break

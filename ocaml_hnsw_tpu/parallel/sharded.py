@@ -107,7 +107,7 @@ def sharded_insert_round(
 
     def step(local_stacked, v, lv, st, ct):
         g = _local(local_stacked)
-        g2 = insert_round(
+        g2, _, _ = insert_round(
             g, v[0], lv[0], st[0], ct[0],
             efc=efc, m=m, m_max0=m_max0, rev_cap=rev_cap, metric=metric,
             keep_pruned=keep_pruned,
@@ -145,12 +145,14 @@ class ShardedIndex:
 
     def init_index(self, max_elements: int, M: int = 16,
                    ef_construction: int = 200, random_seed: int = 100,
-                   round_size: int = 256, **_ignored) -> None:
+                   round_size: int = 256, max_level_cap: int | None = None,
+                   **_ignored) -> None:
         s = self.n_shards
         per_shard = -(-max_elements // s)  # ceil
         self.config = HnswConfig(
             dim=self.dim, metric=self.space, M=M,
             ef_construction=ef_construction, seed=random_seed,
+            max_level_cap=max_level_cap,
         )
         self.max_elements = max_elements
         self.round_size = round_size

@@ -20,5 +20,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: this machine has ONE cpu core, and the suite's
+# wall-clock is dominated by XLA:CPU compiles of the big jitted programs
+# (insert_round per mesh size, knn_search per shape).  Caching them across
+# test runs cuts repeat runs from ~40 min toward the compile-free floor.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -11,15 +11,24 @@ from ocaml_hnsw_tpu.models import from_oracle, knn_search
 from ocaml_hnsw_tpu.bench.datasets import clustered, queries_like
 
 
+_PAIR_CACHE: dict = {}
+
+
 def build_pair(n=1500, dim=24, metric="l2", M=12, efc=80, seed=100,
                data_seed=0):
+    """Oracle+device index pair, memoized: sequential oracle builds dominate
+    this module's single-core wall-clock, and tests never mutate the pair."""
+    key = (n, dim, metric, M, efc, seed, data_seed)
+    if key in _PAIR_CACHE:
+        return _PAIR_CACHE[key]
     data = clustered(n, dim, n_clusters=max(5, n // 50), seed=data_seed)
     if metric == "ip":
         data = data / np.linalg.norm(data, axis=1, keepdims=True)
     o = OracleHNSW(HnswConfig(dim=dim, metric=metric, M=M,
                               ef_construction=efc, seed=seed))
     o.add_items(data)
-    return data, o, from_oracle(o)
+    _PAIR_CACHE[key] = (data, o, from_oracle(o))
+    return _PAIR_CACHE[key]
 
 
 class TestParity:
@@ -156,3 +165,32 @@ class TestVisitedModes:
         for row in ids:
             real = row[row >= 0]
             assert len(set(real.tolist())) == len(real)
+
+
+class TestSeededEntry:
+    """MXU seed-scan entry (SeedIndex) vs greedy descent."""
+
+    @pytest.mark.parametrize("metric", ["l2", "cosine"])
+    def test_seeded_recall_ge_descent(self, metric):
+        from ocaml_hnsw_tpu.models.search import build_seed_index
+
+        data, o, g = build_pair(metric=metric)
+        seeds = build_seed_index(g, metric)
+        assert seeds is not None
+        q = queries_like(data, 150, seed=21)
+        gt_, _ = bruteforce_knn(data, q, 10, metric)
+        ids_d, _ = knn_search(g, jnp.asarray(q), k=10, ef=48, metric=metric)
+        ids_s, _ = knn_search(g, jnp.asarray(q), k=10, ef=48, metric=metric,
+                              seeds=seeds)
+        r_d = recall(np.asarray(ids_d), gt_)
+        r_s = recall(np.asarray(ids_s), gt_)
+        # E nearest upper-layer entries >= greedy's single local optimum
+        assert r_s >= r_d - 0.005, (r_s, r_d)
+
+    def test_seed_index_none_when_flat(self):
+        from ocaml_hnsw_tpu.models.search import build_seed_index
+        from ocaml_hnsw_tpu.models.graph import empty_graph
+        from ocaml_hnsw_tpu.config import HnswConfig
+
+        g = empty_graph(HnswConfig(dim=8), 256)
+        assert build_seed_index(g, "l2") is None

@@ -16,7 +16,8 @@ def sharded():
     assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
     data = clustered(800, 16, n_clusters=32, seed=0)
     idx = ShardedIndex(space="l2", dim=16, mesh=make_mesh(8))
-    idx.init_index(max_elements=1000, M=8, ef_construction=40, round_size=64)
+    idx.init_index(max_elements=1000, M=8, ef_construction=40, round_size=64,
+                   max_level_cap=2)
     idx.add_items(data)
     return data, idx
 
@@ -60,7 +61,7 @@ class TestShardedIncremental:
         data = clustered(400, 8, n_clusters=16, seed=3)
         idx = ShardedIndex(space="l2", dim=8, mesh=make_mesh(8))
         idx.init_index(max_elements=500, M=8, ef_construction=32,
-                       round_size=32)
+                       round_size=32, max_level_cap=2)
         idx.add_items(data[:250])
         idx.add_items(data[250:])
         assert idx.get_current_count() == 400
@@ -71,12 +72,12 @@ class TestShardedIncremental:
 
 
 class TestMeshSizes:
-    @pytest.mark.parametrize("n_dev", [1, 2, 4])
+    @pytest.mark.parametrize("n_dev", [1, 2])
     def test_small_meshes(self, n_dev):
         data = clustered(200, 8, n_clusters=8, seed=5)
         idx = ShardedIndex(space="l2", dim=8, mesh=make_mesh(n_dev))
         idx.init_index(max_elements=300, M=8, ef_construction=32,
-                       round_size=32)
+                       round_size=32, max_level_cap=2)
         idx.add_items(data)
         labels, _ = idx.knn_query(data[:10], k=1, ef=32)
         assert (labels[:, 0] == np.arange(10)).all()
