@@ -58,6 +58,8 @@ class Index:
         random_seed: int = 100,
         round_size: int = 1024,
         keep_pruned_connections: bool = False,
+        extend_candidates: bool = False,
+        select: str = "heuristic",
         storage: str = "f32",
         **_ignored,  # num_threads etc. accepted for source compatibility
     ) -> None:
@@ -68,6 +70,8 @@ class Index:
             ef_construction=ef_construction,
             seed=random_seed,
             keep_pruned_connections=keep_pruned_connections,
+            extend_candidates=extend_candidates,
+            select=select,
             storage=storage,
         )
         self._state = BuildState(cfg, max_elements, round_size=round_size)

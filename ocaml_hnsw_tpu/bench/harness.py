@@ -10,6 +10,7 @@ target; both results are reported.
 
 from __future__ import annotations
 
+import json
 import time
 
 import numpy as np
@@ -126,6 +127,105 @@ def measure_qps(search_fn, queries: np.ndarray, batch: int = 4096,
     return batch * reps / dt
 
 
+def run_streaming_config(
+    name: str,
+    n: int,
+    dim: int,
+    metric: str,
+    n_queries: int = 1000,
+    k: int = 10,
+    M: int = 16,
+    ef_construction: int = 200,
+    round_size: int = 2048,
+    ef: int = 96,
+    max_iters: int | None = 16,
+    warm_frac: float = 0.5,
+    n_steps: int = 10,
+    qps_batch: int = 4096,
+    seed: int = 7,
+    verbose: bool = True,
+) -> dict:
+    """BASELINE config 5 measured AS streaming: interleaved timed insert
+    rounds and query batches on one chip.  Reports sustained query QPS
+    during ingest, ingest vectors/sec, and end-state recall."""
+    from ocaml_hnsw_tpu.models.search import build_seed_index
+
+    def log(msg):
+        if verbose:
+            print(f"[stream:{name}] {msg}", flush=True)
+
+    log("generating dataset on device")
+    data, make_q = datasets.clustered_device(
+        n, dim, n_clusters=max(64, n // 2500), seed=seed
+    )
+    queries = make_q(n_queries, qseed=seed + 1)
+    qb = jnp.asarray(queries)
+    while qb.shape[0] < qps_batch:
+        qb = jnp.concatenate([qb, qb])
+    qb = qb[:qps_batch]
+
+    cfg = HnswConfig(dim=dim, metric=metric, M=M,
+                     ef_construction=ef_construction)
+    state = BuildState(cfg, n, round_size=round_size)
+    n_warm = int(n * warm_frac)
+    t0 = time.perf_counter()
+    state.add(data[:n_warm])
+    np.asarray(state.graph.n)
+    warm_s = time.perf_counter() - t0
+    log(f"warm build {n_warm} in {warm_s:.1f}s = {n_warm/warm_s:.0f} vps")
+
+    step_n = (n - n_warm) // n_steps
+    ins_s = 0.0
+    q_s = 0.0
+    q_done = 0
+    compact = 3 * (4 * cfg.M_max0) // 4 if cfg.M_max0 * 4 >= 128 else None
+    for i in range(n_steps):
+        lo = n_warm + i * step_n
+        t0 = time.perf_counter()
+        state.add(data[lo : lo + step_n])
+        np.asarray(state.graph.n)
+        ins_s += time.perf_counter() - t0
+        seeds = build_seed_index(state.graph, metric)
+        t0 = time.perf_counter()
+        ids = knn_search(state.graph, qb, k=k, ef=ef, metric=metric,
+                         max_iters=max_iters, seeds=seeds,
+                         compact_k=compact)[0]
+        np.asarray(ids[0, 0])
+        dt = time.perf_counter() - t0
+        # first step pays the compile; skip it in the sustained number
+        if i > 0:
+            q_s += dt
+            q_done += qps_batch
+        log(f"step {i}: +{step_n} in {ins_s:.1f}s cum, "
+            f"query batch {qps_batch} in {dt*1e3:.0f} ms")
+
+    # end-state recall vs exact GT
+    flat = build_flat(data, metric, rerank_dtype="bf16")
+    gt = device_ground_truth(flat, queries, k, metric)
+    seeds = build_seed_index(state.graph, metric)
+    ids, _ = knn_search(state.graph, jnp.asarray(queries), k=k, ef=ef,
+                        metric=metric, max_iters=max_iters, seeds=seeds,
+                        compact_k=compact)
+    r = recall_of(np.asarray(ids), gt)
+    ingested = n - n_warm
+    out = {
+        "config": name,
+        "n": n,
+        "dim": dim,
+        "metric": metric,
+        "streaming": True,
+        "warm_build_vps": round(n_warm / warm_s),
+        "ingest_vps": round(ingested / ins_s),
+        "sustained_qps_during_ingest": round(q_done / q_s) if q_s else None,
+        "recall": round(r, 4),
+        "ef": ef,
+        "max_iters": max_iters,
+        "backend": jax.devices()[0].platform,
+    }
+    log(json.dumps(out))
+    return out
+
+
 def run_config(
     name: str,
     n: int,
@@ -136,7 +236,12 @@ def run_config(
     M: int = 16,
     ef_construction: int = 200,
     round_size: int = 1024,
-    ef_sweep=(10, 16, 24, 32, 48, 64, 96, 128, 192, 256),
+    # (ef, max_iters) pairs ordered by cost; None = run to convergence.
+    # Recall is iteration-limited at these widths (measured: ef 80..128 at
+    # equal max_iters give identical recall), so the sweep climbs max_iters.
+    ef_sweep=((48, 8), (64, 10), (96, 12), (96, 14), (96, 15), (96, 16),
+              (96, 18), (96, 21), (96, 24), (128, 32), (128, None),
+              (256, None)),
     rerank_sweep=(32, 64, 128),
     target_recall: float = 0.95,
     qps_batch: int = 4096,
@@ -186,17 +291,20 @@ def run_config(
         build_s = time.perf_counter() - t0
         log(f"hnsw built in {build_s:.1f}s = {n / build_s:.0f} vectors/s")
         seeds = build_seed_index(state.graph, metric) if n >= 4096 else None
+        # compact only when the candidate block is wide enough to matter
+        compact = 3 * (4 * cfg.M_max0) // 4 if 4 * cfg.M_max0 >= 128 else None
         sweep = []
         chosen = None
         for entry in ef_sweep:
             ef, mi = entry if isinstance(entry, tuple) else (entry, None)
             ids, _ = knn_search(state.graph, queries, k=k, ef=ef,
-                                metric=metric, max_iters=mi, seeds=seeds)
+                                metric=metric, max_iters=mi, seeds=seeds,
+                                compact_k=compact)
             r = recall_of(np.asarray(ids), gt)
             qps = measure_qps(
                 lambda q, ef=ef, mi=mi: knn_search(
                     state.graph, q, k=k, ef=ef, metric=metric, max_iters=mi,
-                    seeds=seeds)[0],
+                    seeds=seeds, compact_k=compact)[0],
                 queries, batch=qps_batch,
             )
             sweep.append({"ef": ef, "max_iters": mi, "recall": round(r, 4),

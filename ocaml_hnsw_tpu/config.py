@@ -32,6 +32,10 @@ class HnswConfig:
       extend_candidates: Alg 4 "extendCandidates" flag.
       keep_pruned_connections: Alg 4 "keepPrunedConnections" flag (default off,
         matching hnswlib's heuristic).
+      select: neighbor-selection algorithm — "heuristic" (Alg 4 diversity
+        pruning, the default both here and in hnswlib/the reference) or
+        "simple" (Alg 3: plain nearest-M; measurably worse recall on
+        clustered data, provided for paper completeness and ablations).
       max_level_cap: static upper bound on the layer stack height; needed by the
         TPU engine for a static adjacency tensor stack.  None = derived from
         max_elements at index creation.
@@ -51,6 +55,7 @@ class HnswConfig:
     seed: int = 100
     extend_candidates: bool = False
     keep_pruned_connections: bool = False
+    select: str = "heuristic"
     max_level_cap: int | None = None
     storage: str = "f32"
 
@@ -60,6 +65,10 @@ class HnswConfig:
         if self.storage not in STORAGES:
             raise ValueError(
                 f"storage must be one of {STORAGES}, got {self.storage!r}"
+            )
+        if self.select not in ("heuristic", "simple"):
+            raise ValueError(
+                f"select must be 'heuristic' or 'simple', got {self.select!r}"
             )
         if self.M < 2:
             raise ValueError("M must be >= 2")

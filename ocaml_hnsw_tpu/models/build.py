@@ -115,15 +115,45 @@ def compact_by_mask(ids, d, mask, m: int):
 
 
 def select_neighbors(vectors, scales, norms, w_ids, w_d, m: int, metric: str,
-                     keep_pruned: bool):
-    """Alg 4 over beam results (sorted ascending).  Returns ids/d [B, m]."""
+                     keep_pruned: bool, heuristic: bool = True):
+    """Neighbor selection over beam results (sorted ascending): Alg 4
+    diversity pruning (default) or Alg 3 plain nearest-M (heuristic=False).
+    Returns ids/d [B, m]."""
     valid = w_ids >= 0
+    if not heuristic:  # Alg 3: the beam is distance-ascending already
+        return compact_by_mask(w_ids, w_d, valid, m)
     safe = jnp.maximum(w_ids, 0)
     cvec = gather_dequant(vectors, scales, w_ids)
     cnorm = norms[safe]
     pair = pairwise_dists(cvec, cnorm, metric)
     sel = heuristic_admit(w_d, pair, valid, m, keep_pruned)
     return compact_by_mask(w_ids, w_d, sel, m)
+
+
+def extend_candidates(vectors, scales, norms, adj_l, q, qn, w_ids, w_d,
+                      ef_l: int, metric: str):
+    """Alg 4's extendCandidates flag, batched: widen the candidate pool with
+    the beam members' own neighbors at this layer, then keep the nearest ef_l
+    (deduplicated) as the new pool.
+
+    Deviation from the sequential oracle (documented): the oracle's pool
+    grows unboundedly to |W|·(deg+1); here it is truncated to the nearest
+    ef_l after extension so shapes stay static.  Selection admits at most
+    M ≪ ef_l nearest-diverse candidates, so the truncation is outside the
+    admitted region in practice (recall parity is covered by tests)."""
+    r = w_ids.shape[0]
+    nb = adj_l[jnp.maximum(w_ids, 0)]  # [R, ef_l, deg]
+    nb = jnp.where((w_ids >= 0)[:, :, None], nb, -1).reshape(r, -1)
+    all_ids = jnp.concatenate([w_ids, nb], axis=1)
+    d_all = dists_to_ids(vectors, scales, norms, q, qn, all_ids, metric)
+    kk = min(2 * ef_l, all_ids.shape[1])
+    neg, idx = jax.lax.top_k(-d_all, kk)
+    t_ids = jnp.take_along_axis(all_ids, idx, axis=1)
+    t_d = -neg
+    from ocaml_hnsw_tpu.ops.bitset import first_occurrence_mask
+
+    uniq = first_occurrence_mask(t_ids) & (t_ids >= 0)
+    return compact_by_mask(t_ids, t_d, uniq, ef_l)
 
 
 # ------------------------------------------------------------- edge updates
@@ -141,6 +171,7 @@ def apply_edges(
     metric: str,
     keep_pruned: bool,
     pad_row: int,  # reserved never-occupied row used as scatter sink
+    heuristic: bool = True,
 ):
     """Forward + reverse edge application with deterministic conflict handling.
 
@@ -169,7 +200,6 @@ def apply_edges(
     # function of (sel_ids, p_ids) — intra-round order still can't matter.
     pair_valid = mask[:, None] & (sel_ids >= 0)
     e_cols = jnp.where(pair_valid, sel_ids, pad_row)  # [R, M]
-    kk = r * m
     cnt = jnp.zeros((n_cap,), jnp.int32)
     rev = jnp.full((n_cap, rev_cap), -1, jnp.int32)
     for j in range(m):
@@ -187,9 +217,12 @@ def apply_edges(
         ].max(jnp.where(keep, p_ids, -1))
         cnt = cnt.at[e_col].add(valid.astype(jnp.int32))
 
-    # ---- affected target rows
-    cnt = cnt.at[pad_row].set(0)
-    (aff,) = jnp.nonzero(cnt > 0, size=kk, fill_value=pad_row)
+    # ---- affected target rows: the flattened pair targets themselves.
+    # Duplicates (same target hit by several new points) all recompute the
+    # identical merged row and scatter identical values — deterministic — and
+    # the width equals the nonzero() padding this replaces, so skipping the
+    # O(n_cap) nonzero scan (measured 18 ms at 1M) is a strict win.
+    aff = e_cols.reshape(-1)  # [R*M] with dups; pad_row on invalid pairs
 
     old = adj[aff]  # [A, m_cap]
     new_ps = rev[aff]  # [A, rev_cap]
@@ -206,19 +239,23 @@ def apply_edges(
     )
     app_ids, _ = compact_by_mask(combined, dcomb, cvalid, m_cap)
 
-    # shrink path: heuristic re-prune over old ∪ new, sorted by distance
+    # shrink path: re-prune over old ∪ new, sorted by distance — Alg 4
+    # heuristic by default, plain nearest-m_cap under select="simple"
     ord2 = jnp.argsort(jnp.where(cvalid, dcomb, INF), axis=1)
     sc_ids = jnp.take_along_axis(combined, ord2, axis=1)
     sc_d = jnp.take_along_axis(dcomb, ord2, axis=1)
     sc_valid = sc_ids >= 0
-    svec = gather_dequant(vectors, scales, sc_ids)
-    snorm = norms[jnp.maximum(sc_ids, 0)]
-    # shrink-only pruning: 1-pass MXU precision — ~0.4% error flips only
-    # near-tie diversity decisions, and these tiny batched matmuls at
-    # 3-pass HIGHEST dominated the whole round (measured ~2s at R=2048)
-    pair2 = pairwise_dists(svec, snorm, metric,
-                           precision=jax.lax.Precision.DEFAULT)
-    sel2 = heuristic_admit(sc_d, pair2, sc_valid, m_cap, keep_pruned)
+    if heuristic:
+        svec = gather_dequant(vectors, scales, sc_ids)
+        snorm = norms[jnp.maximum(sc_ids, 0)]
+        # shrink-only pruning: 1-pass MXU precision — ~0.4% error flips only
+        # near-tie diversity decisions, and these tiny batched matmuls at
+        # 3-pass HIGHEST dominated the whole round (measured ~2s at R=2048)
+        pair2 = pairwise_dists(svec, snorm, metric,
+                               precision=jax.lax.Precision.DEFAULT)
+        sel2 = heuristic_admit(sc_d, pair2, sc_valid, m_cap, keep_pruned)
+    else:
+        sel2 = sc_valid
     heur_ids, _ = compact_by_mask(sc_ids, sc_d, sel2, m_cap)
 
     new_rows = jnp.where(overflow[:, None], heur_ids, app_ids)
@@ -231,7 +268,8 @@ def apply_edges(
     jax.jit,
     static_argnames=(
         "efc", "efc_upper", "m", "m_max0", "rev_cap", "metric",
-        "keep_pruned", "storage", "round_top", "seed_e",
+        "keep_pruned", "storage", "round_top", "seed_e", "need_descent",
+        "build_mi", "build_ck", "extend", "heuristic",
     ),
 )
 def insert_round(
@@ -253,6 +291,11 @@ def insert_round(
     efc_upper: int | None = None,
     round_top: int | None = None,
     seed_e: int = 16,
+    need_descent: bool = True,
+    build_mi: int | None = None,
+    build_ck: int | None = None,
+    extend: bool = False,
+    heuristic: bool = True,
 ):
     """One fully-batched insertion round (Alg 1 for R points against the
     pre-round snapshot).  R is static; real rounds are padded to R and masked.
@@ -341,7 +384,10 @@ def insert_round(
         adj_l = adj0 if level == 0 else adj_upper[level - 1]
         m_cap = m_max0 if level == 0 else m
 
-        if level >= 1:  # greedy descent through layers above connect_start
+        if level >= 1 and need_descent:
+            # greedy descent through layers above connect_start (skippable
+            # when seeds cover every entry: round_top_actual <= 1 and the
+            # seed bank is non-empty — the caller knows both statically)
             greedy_on = valid & (level > connect_start) & (level <= max_level_pre)
             cur, cur_d = _greedy_level(
                 vectors, scales, norms, adj_l, q, qn, cur, cur_d, greedy_on,
@@ -377,13 +423,23 @@ def insert_round(
             w_ids, w_d, _ = beam_search_layer(
                 vectors, scales, norms, adj_l, q, qn, entry_ids, entry_d,
                 ef_l, metric, expand=4, visited_bits=0,
+                max_iters=build_mi if level == 0 else None,
+                compact_k=build_ck if level == 0 else None,
             )
             if level > 0:
                 ep_ids = jnp.where(beam_on[:, None], w_ids, ep_ids)
                 ep_d = jnp.where(beam_on[:, None], w_d, ep_d)
 
+            if extend:  # Alg 4 extendCandidates: widen the pool first
+                c_ids, c_d = extend_candidates(
+                    vectors, scales, norms, adj_l, q, qn, w_ids, w_d, ef_l,
+                    metric,
+                )
+            else:
+                c_ids, c_d = w_ids, w_d
             sel_ids, sel_d = select_neighbors(
-                vectors, scales, norms, w_ids, w_d, m, metric, keep_pruned
+                vectors, scales, norms, c_ids, c_d, m, metric, keep_pruned,
+                heuristic=heuristic,
             )
             adj_l = apply_edges(
                 adj_l,
@@ -399,6 +455,7 @@ def insert_round(
                 metric,
                 keep_pruned,
                 pad_row,
+                heuristic=heuristic,
             )
             if level == 0:
                 adj0 = adj_l
@@ -488,6 +545,15 @@ class BuildState:
         )
         self.seed_n = jnp.int32(0)
         self.host_max_level = -1
+        self.host_upper_count = 0  # mirror of seed_n (descent-skip decision)
+        # level-0 build-beam throughput knobs (see insert_round): candidate
+        # compaction saved ~13% build time at 1M with zero measured recall
+        # cost, so it defaults on for wide candidate blocks; iteration caps
+        # measured recall-neutral but not faster, so build_mi stays None.
+        self.build_mi: int | None = None
+        self.build_ck: int | None = (
+            (3 * 4 * config.M_max0) // 4 if 4 * config.M_max0 >= 128 else None
+        )
 
     def prep(self, data):
         """Normalize (cosine) on whichever side the data lives."""
@@ -531,6 +597,7 @@ class BuildState:
                 if lvl0 >= 1:
                     self.seed_bank = self.seed_bank.at[0].set(0)
                     self.seed_n = jnp.int32(1)
+                    self.host_upper_count = 1
                 self.host_max_level = lvl0
                 done += 1
                 continue
@@ -547,13 +614,17 @@ class BuildState:
             lvls = np.zeros((self.round_size,), np.int32)
             lvls[: min(count, n_new - done)] = levels[done : done + count]
             # static per-round connect ceiling, bucketed to {2, 3, l_max} so
-            # the build compiles at most 3 insert_round variants (P(level>=3)
+            # the build compiles few insert_round variants (P(level>=3)
             # = M^-3 per point: most rounds top out at 2)
-            round_top = min(int(lvls[:count].max()), self.host_max_level)
+            top_actual = min(int(lvls[:count].max()), self.host_max_level)
+            round_top = top_actual
             for b in (2, 3, self.l_max):
                 if round_top <= b:
                     round_top = b
                     break
+            # descent is only needed as entry for connect layers >= 2 (seeds
+            # cover layers 0-1) or while the seed bank is still empty
+            need_descent = top_actual >= 2 or self.host_upper_count == 0
             self.graph, self.seed_bank, self.seed_n = insert_round(
                 self.graph,
                 vecs,
@@ -570,9 +641,15 @@ class BuildState:
                 keep_pruned=cfg.keep_pruned_connections,
                 storage=cfg.storage,
                 round_top=round_top,
+                need_descent=need_descent,
+                build_mi=self.build_mi,
+                build_ck=self.build_ck,
+                extend=cfg.extend_candidates,
+                heuristic=cfg.select == "heuristic",
             )
             self.host_max_level = max(self.host_max_level,
                                       int(lvls[:count].max()))
+            self.host_upper_count += int((lvls[:count] >= 1).sum())
             done += count
 
 
@@ -580,11 +657,6 @@ def build(data: np.ndarray, config: HnswConfig,
           max_elements: int | None = None, round_size: int = 1024,
           ) -> GraphTensors:
     """Build a full index over `data` with batched parallel insertion."""
-    if config.extend_candidates:
-        raise NotImplementedError(
-            "extend_candidates is supported by the oracle only; the batched "
-            "builder implements the default Alg 4 path"
-        )
     data = np.asarray(data, dtype=np.float32)
     state = BuildState(config, max_elements or data.shape[0],
                        round_size=round_size)

@@ -259,11 +259,15 @@ class SeedIndex(NamedTuple):
     ids:   i32[U_cap]     global node id per row (padding repeats a real row)
     vecs:  bf16[U_cap, D] that node's stored vector (dequantized, bf16)
     norms: f32[U_cap]     ||x||² for l2 scoring (zeros for ip/cosine)
+    bias:  f32[U_cap]     additive score bias: 0 on live rows, +inf on
+                          masked padding (lets a partially-filled seed bank
+                          be scanned without host-side compaction)
     """
 
     ids: jnp.ndarray
     vecs: jnp.ndarray
     norms: jnp.ndarray
+    bias: jnp.ndarray
 
 
 def build_seed_index(graph: GraphTensors, metric: str) -> SeedIndex | None:
@@ -283,7 +287,30 @@ def build_seed_index(graph: GraphTensors, metric: str) -> SeedIndex | None:
     norms = jnp.sum(vecs * vecs, axis=1) if metric == "l2" else jnp.zeros(
         (u_cap,), jnp.float32
     )
-    return SeedIndex(ids=ids, vecs=vecs.astype(jnp.bfloat16), norms=norms)
+    return SeedIndex(ids=ids, vecs=vecs.astype(jnp.bfloat16), norms=norms,
+                     bias=jnp.zeros((u_cap,), jnp.float32))
+
+
+def seed_index_from_bank(graph: GraphTensors, bank, n_live, metric: str
+                         ) -> SeedIndex:
+    """SeedIndex view of a build-time seed bank (i32[U_cap] ids + live
+    count), entirely on device — used by the sharded engine where each shard
+    keeps its own bank.  Dead slots get a +inf score bias."""
+    safe = jnp.maximum(bank, 0)
+    from ocaml_hnsw_tpu.ops.distance import gather_dequant
+
+    vecs = gather_dequant(graph.vectors, graph.scales, safe[None, :])[0]
+    live = jnp.arange(bank.shape[0]) < n_live
+    if metric == "l2":
+        norms = jnp.sum(vecs * vecs, axis=1)
+    else:
+        norms = jnp.zeros((bank.shape[0],), jnp.float32)
+    return SeedIndex(
+        ids=safe,
+        vecs=vecs.astype(jnp.bfloat16),
+        norms=norms,
+        bias=jnp.where(live, 0.0, jnp.inf),
+    )
 
 
 def seed_entries(graph: GraphTensors, seeds: SeedIndex, q, qn, e: int,
@@ -299,8 +326,12 @@ def seed_entries(graph: GraphTensors, seeds: SeedIndex, q, qn, e: int,
         scores = seeds.norms[None, :] - 2.0 * dot  # +||q||² rank-invariant
     else:
         scores = -dot
+    scores = scores + seeds.bias[None, :]
     _, ii = jax.lax.approx_min_k(scores, e)
-    sids = seeds.ids[ii]
+    live = jnp.take_along_axis(
+        jnp.broadcast_to(seeds.bias[None, :] == 0.0, scores.shape), ii, axis=1
+    )
+    sids = jnp.where(live, seeds.ids[ii], -1)
     sd = dists_to_ids(graph.vectors, graph.scales, graph.norms, q, qn, sids,
                       metric)
     return sids, sd

@@ -96,6 +96,12 @@ class OracleHNSW:
     def _select_simple(self, candidates, M):
         return sorted(candidates)[:M]
 
+    def _select(self, q_vec, candidates, M, lc):
+        """Dispatch on config.select: Alg 4 heuristic (default) or Alg 3."""
+        if self.config.select == "simple":
+            return self._select_simple(candidates, M)
+        return self._select_heuristic(q_vec, candidates, M, lc)
+
     # ----------------------------------------------------------------- Alg 4
     def _select_heuristic(self, q_vec: np.ndarray, candidates, M: int, lc: int):
         """Diversity pruning: admit e only if d(e, q) < d(e, r) for every
@@ -147,7 +153,7 @@ class OracleHNSW:
             ep = [self._search_layer(vec, ep, 1, lc)[0][1]]
         for lc in range(min(self.max_level, lvl), -1, -1):  # connect phase
             W = self._search_layer(vec, ep, self.ef_construction, lc)
-            neighbors = self._select_heuristic(vec, W, self.M, lc)
+            neighbors = self._select(vec, W, self.M, lc)
             self.adj[idx][lc] = [e for _, e in neighbors]
             m_max = self.M_max0 if lc == 0 else self.M_max
             for _, e in neighbors:
@@ -158,7 +164,7 @@ class OracleHNSW:
                         (self._dist(ve, self.vectors[x]), x) for x in self.adj[e][lc]
                     ]
                     self.adj[e][lc] = [
-                        x for _, x in self._select_heuristic(ve, cands, m_max, lc)
+                        x for _, x in self._select(ve, cands, m_max, lc)
                     ]
             ep = [e for _, e in W]
         if lvl > self.max_level:

@@ -10,17 +10,23 @@ which is exact for sharded-by-partition indexes"):
   local slot g // S), so every shard holds an unbiased sample of the data and
   per-shard recall matches single-shard recall at equal ef;
 - each shard is an independent HNSW subindex; one `shard_map` step runs the
-  single-chip engine per device — **build** (insert_round) and **query**
-  (knn_search) both SPMD over the mesh;
+  single-chip engine per device — **build** (insert_round, including the MXU
+  seed-scan entries via a per-shard seed bank) and **query** (knn_search with
+  the same seed bank) both SPMD over the mesh;
 - query merge: per-shard local top-k → `all_gather` over the shard axis (ICI)
   → global top-k.  The merge is exact given the per-shard results, so recall
   composes; the only cross-chip traffic is [S, B, k] ids+dists.
 
 The same stacked-graph pytree runs on one chip (S=1), a CPU-simulated 8-device
-mesh (tests), or a real pod slice — only the Mesh changes.
+mesh (tests), or a real pod slice — only the Mesh changes.  Lifecycle parity
+with the single-chip Index: save_index/load_index (one npz holding every
+shard), resize_index, get_items, mark/unmark_deleted.
 """
 
 from __future__ import annotations
+
+import dataclasses
+import json
 
 import numpy as np
 import jax
@@ -29,14 +35,16 @@ from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
 from ocaml_hnsw_tpu.config import HnswConfig, METRICS
 from ocaml_hnsw_tpu.models.graph import GraphTensors, empty_graph
-from ocaml_hnsw_tpu.models.search import knn_search
+from ocaml_hnsw_tpu.models.search import knn_search, seed_index_from_bank
 from ocaml_hnsw_tpu.models.build import (
     insert_round,
     bootstrap,
     sample_levels,
+    seed_capacity,
 )
 
 AXIS = "shard"
+FORMAT_VERSION = 1
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -45,7 +53,7 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs[:n]), axis_names=(AXIS,))
 
 
-def _local(tree: GraphTensors) -> GraphTensors:
+def _local(tree):
     """Strip the leading per-shard dim inside shard_map."""
     return jax.tree.map(lambda a: a[0], tree)
 
@@ -56,17 +64,24 @@ def _graph_specs() -> GraphTensors:
 
 
 def sharded_knn(mesh: Mesh, stacked: GraphTensors, queries, k: int, ef: int,
-                metric: str, n_shards: int):
+                metric: str, n_shards: int, seed_bank=None, seed_n=None,
+                max_iters: int | None = None, compact_k: int | None = None):
     """SPMD query step: local search per shard, all_gather + global top-k.
 
     queries are replicated; returns replicated (global_ids i32[B, k],
     dists f32[B, k]).  Local ids are mapped to global via g = l * S + s
-    (round-robin placement)."""
+    (round-robin placement).  When a seed bank is given, each shard uses the
+    MXU seed-scan entry path."""
+    use_seeds = seed_bank is not None
 
-    def step(local_stacked, q):
+    def step(local_stacked, q, *bank):
         g = _local(local_stacked)
         s = jax.lax.axis_index(AXIS)
-        ids, d = knn_search(g, q, k=k, ef=ef, metric=metric)
+        seeds = None
+        if use_seeds:
+            seeds = seed_index_from_bank(g, bank[0][0], bank[1][0], metric)
+        ids, d = knn_search(g, q, k=k, ef=ef, metric=metric, seeds=seeds,
+                            max_iters=max_iters, compact_k=compact_k)
         gids = jnp.where(ids >= 0, ids * n_shards + s, -1)
         all_ids = jax.lax.all_gather(gids, AXIS)  # [S, B, k] over ICI
         all_d = jax.lax.all_gather(d, AXIS)
@@ -76,14 +91,18 @@ def sharded_knn(mesh: Mesh, stacked: GraphTensors, queries, k: int, ef: int,
         neg, idx = jax.lax.top_k(-flat_d, k)
         return jnp.take_along_axis(flat_ids, idx, axis=1), -neg
 
+    extra_in = (P(AXIS), P(AXIS)) if use_seeds else ()
     fn = jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(_graph_specs(), P()),
+        in_specs=(_graph_specs(), P()) + extra_in,
         out_specs=(P(), P()),
         check_vma=False,  # engine loop carries are not vma-annotated
     )
-    return fn(stacked, queries)
+    args = (stacked, queries)
+    if use_seeds:
+        args += (seed_bank, seed_n)
+    return fn(*args)
 
 
 def sharded_insert_round(
@@ -93,6 +112,8 @@ def sharded_insert_round(
     levels,  # i32[S, R]
     start,  # i32[S]
     count,  # i32[S]
+    seed_bank,  # i32[S, U_cap]
+    seed_n,  # i32[S]
     *,
     efc: int,
     m: int,
@@ -100,28 +121,35 @@ def sharded_insert_round(
     rev_cap: int,
     metric: str,
     keep_pruned: bool,
+    round_top: int,
+    need_descent: bool,
+    extend: bool = False,
+    heuristic: bool = True,
 ):
     """SPMD build step: every device runs one insert_round on its own shard.
     No cross-shard edges exist (shards are independent subindexes), so the
     only collective is the implicit SPMD program itself."""
 
-    def step(local_stacked, v, lv, st, ct):
+    def step(local_stacked, v, lv, st, ct, bank, bn):
         g = _local(local_stacked)
-        g2, _, _ = insert_round(
-            g, v[0], lv[0], st[0], ct[0],
+        g2, bank2, bn2 = insert_round(
+            g, v[0], lv[0], st[0], ct[0], bank[0], bn[0],
             efc=efc, m=m, m_max0=m_max0, rev_cap=rev_cap, metric=metric,
-            keep_pruned=keep_pruned,
+            keep_pruned=keep_pruned, round_top=round_top,
+            need_descent=need_descent, extend=extend, heuristic=heuristic,
         )
-        return jax.tree.map(lambda a: a[None], g2)
+        expand = lambda a: jax.tree.map(lambda x: x[None], a)
+        return expand(g2), expand(bank2), expand(bn2)
 
     fn = jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(_graph_specs(), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=_graph_specs(),
+        in_specs=(_graph_specs(), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                  P(AXIS), P(AXIS)),
+        out_specs=(_graph_specs(), P(AXIS), P(AXIS)),
         check_vma=False,  # engine loop carries are not vma-annotated
     )
-    return fn(stacked, vecs, levels, start, count)
+    return fn(stacked, vecs, levels, start, count, seed_bank, seed_n)
 
 
 class ShardedIndex:
@@ -158,18 +186,31 @@ class ShardedIndex:
         self.round_size = round_size
         self.per_shard_cap = per_shard
         proto = empty_graph(self.config, per_shard + round_size + 1)
-        stacked = jax.tree.map(
-            lambda a: jnp.broadcast_to(a[None], (s,) + a.shape), proto
-        )
-        sharding = jax.tree.map(
-            lambda _: NamedSharding(self.mesh, P(AXIS)), stacked
-        )
-        self._stacked = jax.device_put(stacked, sharding)
+        self._init_device_state(proto)
         self._rngs = [
             np.random.RandomState(random_seed + i) for i in range(s)
         ]
         self._shard_n = np.zeros(s, dtype=np.int64)  # host mirror of n
+        self._host_max_level = np.full(s, -1, dtype=np.int64)
+        self._host_upper = np.zeros(s, dtype=np.int64)
         self.rev_cap = 8
+
+    def _init_device_state(self, proto: GraphTensors) -> None:
+        s = self.n_shards
+        u_cap = seed_capacity(proto.n_cap, self.config.M)
+        stacked = jax.tree.map(
+            lambda a: jnp.broadcast_to(a[None], (s,) + a.shape), proto
+        )
+        self._stacked = self._shard_put(stacked)
+        self._seed_bank = self._shard_put(
+            jnp.full((s, u_cap), -1, jnp.int32))
+        self._seed_n = self._shard_put(jnp.zeros((s,), jnp.int32))
+
+    def _shard_put(self, tree):
+        sharding = jax.tree.map(
+            lambda _: NamedSharding(self.mesh, P(AXIS)), tree
+        )
+        return jax.device_put(tree, sharding)
 
     def _require_init(self):
         if self._stacked is None:
@@ -205,9 +246,10 @@ class ShardedIndex:
         gids = np.arange(n_tot, n_tot + n_new)
         shard_of = gids % s
         per_shard_data = [data[shard_of == i] for i in range(s)]
+        l_max = int(stacked.adj_upper.shape[1])
         per_shard_levels = [
             sample_levels(self._rngs[i], len(per_shard_data[i]), cfg.mL,
-                          int(stacked.adj_upper.shape[1]))
+                          l_max)
             for i in range(s)
         ]
 
@@ -222,21 +264,27 @@ class ShardedIndex:
                 GraphTensors(*(jnp.asarray(f[i]) for f in host))
                 for i in range(s)
             ]
+            bank_h = np.asarray(self._seed_bank)
+            bn_h = np.asarray(self._seed_n)
             for i in boot_needed:
+                lvl0 = int(per_shard_levels[i][0])
                 graphs[i] = bootstrap(
-                    graphs[i], per_shard_data[i][0],
-                    int(per_shard_levels[i][0]), cfg.metric,
+                    graphs[i], per_shard_data[i][0], lvl0, cfg.metric,
                 )
+                if lvl0 >= 1:
+                    bank_h[i, 0] = 0
+                    bn_h[i] = 1
+                    self._host_upper[i] += 1
+                self._host_max_level[i] = max(self._host_max_level[i], lvl0)
                 per_shard_data[i] = per_shard_data[i][1:]
                 per_shard_levels[i] = per_shard_levels[i][1:]
                 self._shard_n[i] += 1
             restacked = jax.tree.map(
                 lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *graphs
             )
-            sharding = jax.tree.map(
-                lambda _: NamedSharding(self.mesh, P(AXIS)), restacked
-            )
-            stacked = jax.device_put(restacked, sharding)
+            stacked = self._shard_put(restacked)
+            self._seed_bank = self._shard_put(jnp.asarray(bank_h))
+            self._seed_n = self._shard_put(jnp.asarray(bn_h))
 
         done = np.zeros(s, dtype=np.int64)
         todo = np.array([len(d) for d in per_shard_data])
@@ -255,14 +303,35 @@ class ShardedIndex:
                 if c:
                     vecs[i, :c] = per_shard_data[i][done[i] : done[i] + c]
                     lvls[i, :c] = per_shard_levels[i][done[i] : done[i] + c]
-            stacked = sharded_insert_round(
+            round_max = int(lvls.max()) if lvls.size else 0
+            top_actual = min(round_max, int(self._host_max_level.max()))
+            round_top = top_actual
+            for b in (2, 3, l_max):
+                if round_top <= b:
+                    round_top = b
+                    break
+            round_top = min(round_top, l_max)
+            need_descent = top_actual >= 2 or int(self._host_upper.min()) == 0
+            stacked, self._seed_bank, self._seed_n = sharded_insert_round(
                 self.mesh, stacked,
                 jnp.asarray(vecs), jnp.asarray(lvls),
                 jnp.asarray(start), jnp.asarray(count),
+                self._seed_bank, self._seed_n,
                 efc=cfg.ef_construction, m=cfg.M, m_max0=cfg.M_max0,
                 rev_cap=self.rev_cap, metric=cfg.metric,
                 keep_pruned=cfg.keep_pruned_connections,
+                round_top=round_top, need_descent=need_descent,
+                extend=cfg.extend_candidates,
+                heuristic=cfg.select == "heuristic",
             )
+            for i in range(s):
+                if count[i]:
+                    self._host_max_level[i] = max(
+                        self._host_max_level[i], int(lvls[i, :count[i]].max())
+                    )
+                    self._host_upper[i] += int(
+                        (lvls[i, :count[i]] >= 1).sum()
+                    )
             done += count
             self._shard_n += count
         self._stacked = stacked
@@ -270,7 +339,8 @@ class ShardedIndex:
     def set_ef(self, ef: int) -> None:
         self.ef = int(ef)
 
-    def knn_query(self, data, k: int = 1, ef: int | None = None):
+    def knn_query(self, data, k: int = 1, ef: int | None = None,
+                  max_iters: int | None = None):
         stacked = self._require_init()
         data = np.atleast_2d(np.asarray(data, dtype=np.float32))
         q_n = data.shape[0]
@@ -279,23 +349,190 @@ class ShardedIndex:
             b *= 2
         padded = np.zeros((b, self.dim), np.float32)
         padded[:q_n] = data
+        use_seeds = int(np.asarray(self._seed_n).min()) > 0
         gids, d = sharded_knn(
             self.mesh, stacked, jnp.asarray(padded), k=k,
             ef=max(ef if ef is not None else self.ef, k),
             metric=self.space, n_shards=self.n_shards,
+            seed_bank=self._seed_bank if use_seeds else None,
+            seed_n=self._seed_n if use_seeds else None,
+            max_iters=max_iters,
         )
         gids = np.asarray(gids)[:q_n]
         d = np.asarray(d)[:q_n]
         labels = np.where(gids >= 0, self._labels[np.maximum(gids, 0)], -1)
         return labels.astype(np.int64), d
 
+    # -------------------------------------------------------------- mutation
+    def _locate(self, label: int):
+        hits = np.where(self._labels == int(label))[0]
+        if not hits.size:
+            raise KeyError(f"label {label} not in index")
+        gid = int(hits[0])
+        return gid % self.n_shards, gid // self.n_shards
+
     def mark_deleted(self, label: int) -> None:
         stacked = self._require_init()
-        gid = int(np.where(self._labels == int(label))[0][0])
-        s, l = gid % self.n_shards, gid // self.n_shards
+        s, l = self._locate(label)
         self._stacked = stacked._replace(
             deleted=stacked.deleted.at[s, l].set(True)
         )
 
+    def unmark_deleted(self, label: int) -> None:
+        stacked = self._require_init()
+        s, l = self._locate(label)
+        self._stacked = stacked._replace(
+            deleted=stacked.deleted.at[s, l].set(False)
+        )
+
+    # ------------------------------------------------------------ inspection
     def get_current_count(self) -> int:
         return int(self._shard_n.sum())
+
+    def get_max_elements(self) -> int:
+        return self.max_elements
+
+    def get_ids_list(self) -> list[int]:
+        return self._labels.tolist()
+
+    def get_items(self, ids) -> np.ndarray:
+        """Stored vectors as f32 (gathered from the owning shard)."""
+        stacked = self._require_init()
+        vec_h = np.asarray(stacked.vectors, dtype=np.float32)
+        scale_h = np.asarray(stacked.scales)
+        out = np.zeros((len(np.atleast_1d(ids)), self.dim), np.float32)
+        for j, lab in enumerate(np.atleast_1d(ids)):
+            s, l = self._locate(lab)
+            out[j] = vec_h[s, l] * scale_h[s, l]
+        return out
+
+    # ----------------------------------------------------------- checkpoints
+    def save_index(self, path) -> None:
+        stacked = self._require_init()
+        meta = {
+            "format_version": FORMAT_VERSION,
+            "config": dataclasses.asdict(self.config),
+            "n_shards": self.n_shards,
+            "max_elements": self.max_elements,
+            "round_size": self.round_size,
+            "ef": self.ef,
+            "rev_cap": self.rev_cap,
+        }
+        arrays = {
+            f"g_{name}": np.asarray(getattr(stacked, name))
+            for name in GraphTensors._fields
+        }
+        arrays.update(
+            seed_bank=np.asarray(self._seed_bank),
+            seed_n=np.asarray(self._seed_n),
+            labels=self._labels,
+            shard_n=self._shard_n,
+            host_max_level=self._host_max_level,
+            host_upper=self._host_upper,
+            rng_keys=np.stack(
+                [r.get_state()[1] for r in self._rngs]
+            ),
+            rng_rest=np.array(
+                [[r.get_state()[2], r.get_state()[3], r.get_state()[4]]
+                 for r in self._rngs], dtype=np.float64
+            ),
+            meta_json=np.frombuffer(
+                json.dumps(meta).encode("utf-8"), dtype=np.uint8
+            ),
+        )
+        with open(path, "wb") as f:
+            np.savez(f, **arrays)
+
+    def load_index(self, path, max_elements: int | None = None) -> None:
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["meta_json"]).decode("utf-8"))
+            if meta["format_version"] > FORMAT_VERSION:
+                raise ValueError("index file is newer than this library")
+            if meta["n_shards"] != self.n_shards:
+                raise ValueError(
+                    f"index file has {meta['n_shards']} shards; this mesh "
+                    f"has {self.n_shards} — shard counts must match"
+                )
+            cfg = HnswConfig(**meta["config"])
+            if cfg.metric != self.space or cfg.dim != self.dim:
+                raise ValueError("index file metric/dim mismatch")
+            self.config = cfg
+            self.max_elements = meta["max_elements"]
+            self.round_size = meta["round_size"]
+            self.ef = meta["ef"]
+            self.rev_cap = meta["rev_cap"]
+            self.per_shard_cap = -(-self.max_elements // self.n_shards)
+            stacked = GraphTensors(
+                *(jnp.asarray(z[f"g_{n}"]) for n in GraphTensors._fields)
+            )
+            self._stacked = self._shard_put(stacked)
+            self._seed_bank = self._shard_put(jnp.asarray(z["seed_bank"]))
+            self._seed_n = self._shard_put(jnp.asarray(z["seed_n"]))
+            self._labels = np.asarray(z["labels"])
+            self._shard_n = np.asarray(z["shard_n"]).copy()
+            self._host_max_level = np.asarray(z["host_max_level"]).copy()
+            self._host_upper = np.asarray(z["host_upper"]).copy()
+            self._rngs = []
+            for i in range(self.n_shards):
+                r = np.random.RandomState()
+                pos, hg, g = z["rng_rest"][i]
+                r.set_state(("MT19937", z["rng_keys"][i].astype(np.uint32),
+                             int(pos), int(hg), float(g)))
+                self._rngs.append(r)
+        if max_elements is not None and max_elements > self.max_elements:
+            self.resize_index(max_elements)
+
+    def resize_index(self, new_max_elements: int) -> None:
+        """Grow capacity in place (per-shard tensors re-padded)."""
+        stacked = self._require_init()
+        if new_max_elements < self.get_current_count():
+            raise ValueError("cannot shrink below current element count")
+        s = self.n_shards
+        per_shard = -(-new_max_elements // s)
+        proto = empty_graph(self.config, per_shard + self.round_size + 1)
+        old_cap = stacked.vectors.shape[1]
+        new_cap = proto.n_cap
+        if new_cap < old_cap:
+            self.max_elements = new_max_elements
+            self.per_shard_cap = per_shard
+            return  # padded capacity already sufficient
+        grow = new_cap - old_cap
+        l_old = stacked.adj_upper.shape[1]
+        l_new = proto.l_max
+
+        def pad2(a, fill):
+            widths = [(0, 0), (0, grow)] + [(0, 0)] * (a.ndim - 2)
+            return jnp.pad(a, widths, constant_values=fill)
+
+        adj_upper = jnp.pad(
+            stacked.adj_upper, ((0, 0), (0, 0), (0, grow), (0, 0)),
+            constant_values=-1,
+        )
+        if l_new > l_old:
+            extra = jnp.full(
+                (s, l_new - l_old, new_cap, stacked.adj_upper.shape[3]), -1,
+                jnp.int32,
+            )
+            adj_upper = jnp.concatenate([adj_upper, extra], axis=1)
+        new_stacked = GraphTensors(
+            vectors=pad2(stacked.vectors, 0),
+            scales=pad2(stacked.scales, 1.0),
+            norms=pad2(stacked.norms, 0.0),
+            adj0=pad2(stacked.adj0, -1),
+            adj_upper=adj_upper,
+            levels=pad2(stacked.levels, -1),
+            entry=stacked.entry,
+            max_level=stacked.max_level,
+            n=stacked.n,
+            deleted=pad2(stacked.deleted, False),
+        )
+        self._stacked = self._shard_put(new_stacked)
+        # seed bank capacity may need to grow with n_cap
+        u_new = seed_capacity(new_cap, self.config.M)
+        u_old = self._seed_bank.shape[1]
+        if u_new > u_old:
+            bank = jnp.pad(self._seed_bank, ((0, 0), (0, u_new - u_old)),
+                           constant_values=-1)
+            self._seed_bank = self._shard_put(bank)
+        self.max_elements = new_max_elements
+        self.per_shard_cap = per_shard

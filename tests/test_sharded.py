@@ -81,3 +81,52 @@ class TestMeshSizes:
         idx.add_items(data)
         labels, _ = idx.knn_query(data[:10], k=1, ef=32)
         assert (labels[:, 0] == np.arange(10)).all()
+
+
+class TestShardedLifecycle:
+    def test_save_load_roundtrip(self, sharded, tmp_path):
+        data, idx = sharded
+        q = queries_like(data, 40, seed=9)
+        l1, d1 = idx.knn_query(q, k=10, ef=48)
+        p = str(tmp_path / "sharded.bin")
+        idx.save_index(p)
+        idx2 = ShardedIndex(space="l2", dim=16, mesh=make_mesh(8))
+        idx2.load_index(p)
+        assert idx2.get_current_count() == idx.get_current_count()
+        l2, d2 = idx2.knn_query(q, k=10, ef=48)
+        np.testing.assert_array_equal(l1, l2)
+        np.testing.assert_allclose(d1, d2, rtol=1e-6)
+
+    def test_load_then_incremental_add(self, sharded, tmp_path):
+        data, idx = sharded
+        p = str(tmp_path / "s2.bin")
+        idx.save_index(p)
+        idx2 = ShardedIndex(space="l2", dim=16, mesh=make_mesh(8))
+        idx2.load_index(p, max_elements=1400)
+        extra = clustered(100, 16, n_clusters=4, seed=77)
+        idx2.add_items(extra)
+        assert idx2.get_current_count() == idx.get_current_count() + 100
+        labels, _ = idx2.knn_query(extra[:5], k=1, ef=48)
+        base = idx.get_current_count()
+        assert set(labels[:, 0]) <= set(range(base, base + 100)) | set(
+            range(base)
+        )
+
+    def test_get_items_and_unmark(self, sharded):
+        data, idx = sharded
+        got = idx.get_items([3, 17])
+        np.testing.assert_allclose(got, data[[3, 17]], rtol=1e-5, atol=1e-5)
+        idx.mark_deleted(3)
+        l, _ = idx.knn_query(data[3], k=1, ef=32)
+        assert l[0, 0] != 3
+        idx.unmark_deleted(3)
+        l, _ = idx.knn_query(data[3], k=1, ef=32)
+        assert l[0, 0] == 3
+
+    def test_shard_count_mismatch_rejected(self, sharded, tmp_path):
+        data, idx = sharded
+        p = str(tmp_path / "s3.bin")
+        idx.save_index(p)
+        idx4 = ShardedIndex(space="l2", dim=16, mesh=make_mesh(4))
+        with pytest.raises(ValueError, match="shard"):
+            idx4.load_index(p)
