@@ -47,17 +47,14 @@ def main():
     ap.add_argument("--config", default="sift1m",
                     choices=sorted(CONFIGS) + sorted(STREAMING))
     ap.add_argument("--queries", type=int, default=1000)
-    ap.add_argument("--qps-batch", type=int, default=4096)
+    ap.add_argument("--qps-batch", type=int, default=8192)
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args()
 
-    import jax
-
-    # persistent compile cache: repeat bench runs (and the 3 insert_round
-    # round_top variants across configs) skip recompiles
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
+    # (persistent compile cache deliberately NOT enabled: AOT executable
+    # reload crashed on this machine — cpu_aot_loader feature mismatch on
+    # CPU, and the axon tunnel had a libtpu AOT version-mismatch failure
+    # mode in round 1; cold compiles are slower but safe)
     from ocaml_hnsw_tpu.bench.harness import run_config, run_streaming_config
 
     if args.config in STREAMING:

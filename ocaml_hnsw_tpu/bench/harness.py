@@ -164,6 +164,13 @@ def run_streaming_config(
         qb = jnp.concatenate([qb, qb])
     qb = qb[:qps_batch]
 
+    # exact GT up front, then free the flat index — at high dim the flat +
+    # graph + dataset together exceed one chip's HBM
+    log("computing exact ground truth on device")
+    flat = build_flat(data, metric, scan_dtype="bf16", rerank_dtype="bf16")
+    gt = device_ground_truth(flat, queries, k, metric)
+    del flat
+
     cfg = HnswConfig(dim=dim, metric=metric, M=M,
                      ef_construction=ef_construction)
     state = BuildState(cfg, n, round_size=round_size)
@@ -199,9 +206,7 @@ def run_streaming_config(
         log(f"step {i}: +{step_n} in {ins_s:.1f}s cum, "
             f"query batch {qps_batch} in {dt*1e3:.0f} ms")
 
-    # end-state recall vs exact GT
-    flat = build_flat(data, metric, rerank_dtype="bf16")
-    gt = device_ground_truth(flat, queries, k, metric)
+    # end-state recall vs the precomputed exact GT
     seeds = build_seed_index(state.graph, metric)
     ids, _ = knn_search(state.graph, jnp.asarray(queries), k=k, ef=ef,
                         metric=metric, max_iters=max_iters, seeds=seeds,

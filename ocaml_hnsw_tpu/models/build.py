@@ -46,6 +46,17 @@ from ocaml_hnsw_tpu.ops.quantize import quantize_rows
 from ocaml_hnsw_tpu.utils import round_up
 
 
+def upper_round_width(r: int, m: int, level: int) -> int:
+    """Static row capacity for the packed upper-level connect stage: 4x the
+    binomial expectation r/M^level (a +30σ-at-defaults margin; BuildState
+    asserts the actual per-round count fits), floored at 64, capped at r."""
+    want = max(64, (4 * r) // (m ** level))
+    p = 1
+    while p < want:
+        p *= 2
+    return min(p, r)
+
+
 def seed_capacity(n_cap: int, m: int) -> int:
     """Static capacity for the build-time seed bank (ids of level>=1 nodes).
 
@@ -66,7 +77,8 @@ def sample_levels(rng: np.random.RandomState, n: int, m_l: float, cap: int):
 
 
 # ------------------------------------------------------- heuristic (Alg 4)
-def heuristic_admit(cand_d, pair_d, valid, m: int, keep_pruned: bool):
+def heuristic_admit(cand_d, pair_d, valid, m: int, keep_pruned: bool,
+                    scan_limit: int | None = None):
     """Vectorized SELECT-NEIGHBORS-HEURISTIC admit loop.
 
     cand_d: f32[B, K] distances to the query point, **sorted ascending**.
@@ -74,8 +86,14 @@ def heuristic_admit(cand_d, pair_d, valid, m: int, keep_pruned: bool):
     Admit candidate j iff it is strictly closer to the query than to every
     already-admitted candidate (exactly the oracle's sequential order, run as
     a fixed-length scan).  Returns the admit mask bool[B, K].
+
+    scan_limit caps the sequential scan depth (the loop is the only serial
+    part of selection): candidates beyond that rank are never admitted.
+    Admissions deeper than ~4M are rare, so a generous cap trades a hair of
+    diversity for wall-clock — quality-checked by the build benchmarks.
     """
     b, k = cand_d.shape
+    depth = k if scan_limit is None else min(k, scan_limit)
 
     def body(j, state):
         sel, cnt = state
@@ -90,7 +108,8 @@ def heuristic_admit(cand_d, pair_d, valid, m: int, keep_pruned: bool):
         return sel, cnt + admit.astype(jnp.int32)
 
     sel, cnt = jax.lax.fori_loop(
-        0, k, body, (jnp.zeros((b, k), jnp.bool_), jnp.zeros((b,), jnp.int32))
+        0, depth, body,
+        (jnp.zeros((b, k), jnp.bool_), jnp.zeros((b,), jnp.int32)),
     )
     if keep_pruned:  # Alg 4 keepPrunedConnections: backfill nearest rejected
         free = m - cnt
@@ -101,13 +120,28 @@ def heuristic_admit(cand_d, pair_d, valid, m: int, keep_pruned: bool):
 
 
 def compact_by_mask(ids, d, mask, m: int):
-    """Pack masked entries left (stable) and truncate/pad to width m."""
+    """Pack masked entries left (stable) and truncate/pad to width m.
+
+    Runs as a bitonic compare-exchange network on the slot index (stable:
+    the key is the original position), not lax.top_k — top_k has a
+    multi-millisecond floor per call on TPU and this helper runs many times
+    per insert round."""
+    from ocaml_hnsw_tpu.ops.sortmerge import bitonic_sort, next_pow2
+
     k = ids.shape[1]
     key = jnp.where(mask, jnp.arange(k, dtype=jnp.int32)[None, :], k + 1)
-    neg, idx = jax.lax.top_k(-key, min(m, k))
-    ok = (-neg) <= k
-    out_ids = jnp.where(ok, jnp.take_along_axis(ids, idx, axis=1), -1)
-    out_d = jnp.where(ok, jnp.take_along_axis(d, idx, axis=1), INF)
+    p2 = next_pow2(k)
+    if p2 > k:
+        key = jnp.pad(key, ((0, 0), (0, p2 - k)), constant_values=k + 1)
+        ids = jnp.pad(ids, ((0, 0), (0, p2 - k)), constant_values=-1)
+        d = jnp.pad(d, ((0, 0), (0, p2 - k)), constant_values=jnp.inf)
+    skey, (out_ids, out_d) = bitonic_sort(
+        key.astype(jnp.float32), [ids, d], ascending=True
+    )
+    w = min(m, k)
+    ok = skey[:, :w] <= k
+    out_ids = jnp.where(ok, out_ids[:, :w], -1)
+    out_d = jnp.where(ok, out_d[:, :w], INF)
     if m > k:
         out_ids = jnp.pad(out_ids, ((0, 0), (0, m - k)), constant_values=-1)
         out_d = jnp.pad(out_d, ((0, 0), (0, m - k)), constant_values=jnp.inf)
@@ -115,7 +149,8 @@ def compact_by_mask(ids, d, mask, m: int):
 
 
 def select_neighbors(vectors, scales, norms, w_ids, w_d, m: int, metric: str,
-                     keep_pruned: bool, heuristic: bool = True):
+                     keep_pruned: bool, heuristic: bool = True,
+                     scan_limit: int | None = None):
     """Neighbor selection over beam results (sorted ascending): Alg 4
     diversity pruning (default) or Alg 3 plain nearest-M (heuristic=False).
     Returns ids/d [B, m]."""
@@ -126,7 +161,8 @@ def select_neighbors(vectors, scales, norms, w_ids, w_d, m: int, metric: str,
     cvec = gather_dequant(vectors, scales, w_ids)
     cnorm = norms[safe]
     pair = pairwise_dists(cvec, cnorm, metric)
-    sel = heuristic_admit(w_d, pair, valid, m, keep_pruned)
+    sel = heuristic_admit(w_d, pair, valid, m, keep_pruned,
+                          scan_limit=scan_limit)
     return compact_by_mask(w_ids, w_d, sel, m)
 
 
@@ -240,10 +276,22 @@ def apply_edges(
     app_ids, _ = compact_by_mask(combined, dcomb, cvalid, m_cap)
 
     # shrink path: re-prune over old ∪ new, sorted by distance — Alg 4
-    # heuristic by default, plain nearest-m_cap under select="simple"
-    ord2 = jnp.argsort(jnp.where(cvalid, dcomb, INF), axis=1)
-    sc_ids = jnp.take_along_axis(combined, ord2, axis=1)
-    sc_d = jnp.take_along_axis(dcomb, ord2, axis=1)
+    # heuristic by default, plain nearest-m_cap under select="simple".
+    # Distance sort as a bitonic network (XLA's variadic sort is serial-ish
+    # on TPU; the network is pure VPU compare-exchange).
+    from ocaml_hnsw_tpu.ops.sortmerge import bitonic_sort, next_pow2
+
+    k2 = combined.shape[1]
+    p2 = next_pow2(k2)
+    sd_in = jnp.where(cvalid, dcomb, INF)
+    si_in = combined
+    if p2 > k2:
+        sd_in = jnp.pad(sd_in, ((0, 0), (0, p2 - k2)),
+                        constant_values=jnp.inf)
+        si_in = jnp.pad(si_in, ((0, 0), (0, p2 - k2)), constant_values=-1)
+    sc_d, (sc_ids,) = bitonic_sort(sd_in, [si_in], ascending=True)
+    sc_d = sc_d[:, :k2]
+    sc_ids = sc_ids[:, :k2]
     sc_valid = sc_ids >= 0
     if heuristic:
         svec = gather_dequant(vectors, scales, sc_ids)
@@ -269,7 +317,7 @@ def apply_edges(
     static_argnames=(
         "efc", "efc_upper", "m", "m_max0", "rev_cap", "metric",
         "keep_pruned", "storage", "round_top", "seed_e", "need_descent",
-        "build_mi", "build_ck", "extend", "heuristic",
+        "build_mi", "build_ck", "extend", "heuristic", "select_scan",
     ),
 )
 def insert_round(
@@ -296,6 +344,7 @@ def insert_round(
     build_ck: int | None = None,
     extend: bool = False,
     heuristic: bool = True,
+    select_scan: int | None = None,
 ):
     """One fully-batched insertion round (Alg 1 for R points against the
     pre-round snapshot).  R is static; real rounds are padded to R and masked.
@@ -380,6 +429,27 @@ def insert_round(
     adj0 = graph.adj0
     adj_upper = graph.adj_upper
 
+    def first_entries(cur_v, cur_dv, sids_v, sdv, width, at_seed_level):
+        """Entry block for a point's FIRST connect layer: the greedy-descent
+        position, upgraded to the seed-scan top-E at layers <= 1 (seed-bank
+        nodes are level>=1, so they exist at layers 0 and 1)."""
+        n_rows = cur_v.shape[0]
+        f_ids = jnp.concatenate(
+            [cur_v[:, None], jnp.full((n_rows, width - 1), -1, jnp.int32)],
+            axis=1,
+        )
+        f_d = jnp.concatenate(
+            [cur_dv[:, None], jnp.full((n_rows, width - 1), jnp.inf)], axis=1
+        )
+        if use_seeds and at_seed_level:
+            pad_i = jnp.full((n_rows, width - seed_e), -1, jnp.int32)
+            pad_dd = jnp.full((n_rows, width - seed_e), jnp.inf)
+            f_ids = jnp.where(have_seeds,
+                              jnp.concatenate([sids_v, pad_i], axis=1), f_ids)
+            f_d = jnp.where(have_seeds,
+                            jnp.concatenate([sdv, pad_dd], axis=1), f_d)
+        return f_ids, f_d
+
     for level in range(l_max, -1, -1):
         adj_l = adj0 if level == 0 else adj_upper[level - 1]
         m_cap = m_max0 if level == 0 else m
@@ -394,46 +464,50 @@ def insert_round(
                 metric
             )
 
-        if level <= round_top:  # beam/select/apply only where points connect
-            # entries for the first connect layer: the greedy-descent
-            # position, upgraded to the seed-scan top-E at layers <= 1
-            # (seed-bank nodes are level>=1, so they exist at layers 0 and 1)
-            seeding = (level == connect_start)[:, None]
-            first_ids = jnp.concatenate(
-                [cur[:, None], jnp.full((r, efc_upper - 1), -1, jnp.int32)],
-                axis=1,
-            )
-            first_d = jnp.concatenate(
-                [cur_d[:, None], jnp.full((r, efc_upper - 1), jnp.inf)], axis=1
-            )
-            if use_seeds and level <= 1:
-                pad_ids = jnp.full((r, efc_upper - seed_e), -1, jnp.int32)
-                pad_d = jnp.full((r, efc_upper - seed_e), jnp.inf)
-                sfull_ids = jnp.concatenate([s_ids, pad_ids], axis=1)
-                sfull_d = jnp.concatenate([s_d, pad_d], axis=1)
-                first_ids = jnp.where(have_seeds, sfull_ids, first_ids)
-                first_d = jnp.where(have_seeds, sfull_d, first_d)
-            entry_ids = jnp.where(seeding, first_ids, ep_ids)
-            entry_d = jnp.where(seeding, first_d, ep_d)
-            beam_on = valid & (level <= connect_start)
-            entry_ids = jnp.where(beam_on[:, None], entry_ids, -1)
-            entry_d = jnp.where(beam_on[:, None], entry_d, INF)
+        if level > round_top:
+            continue  # no point in this round connects here
 
-            ef_l = efc if level == 0 else efc_upper
+        if level >= 1:
+            # ---- packed upper-level connect: only ~R/M^level points reach
+            # this layer, so gather them into a narrow block (4x-expected
+            # static width; BuildState asserts the actual count fits) and run
+            # beam/select/apply at that width instead of full-R lockstep.
+            r_l = upper_round_width(r, m, level)
+            lvl_mask = valid & (connect_start >= level)
+            (idx,) = jnp.nonzero(lvl_mask, size=r_l, fill_value=r)
+            on = idx < r
+            safe_idx = jnp.minimum(idx, r - 1)
+            q_l = q[safe_idx]
+            qn_l = qn[safe_idx]
+            f_ids, f_d = first_entries(
+                cur[safe_idx], cur_d[safe_idx],
+                s_ids[safe_idx] if use_seeds else None,
+                s_d[safe_idx] if use_seeds else None,
+                efc_upper, level <= 1,
+            )
+            seeding = (connect_start[safe_idx] == level)[:, None]
+            entry_ids = jnp.where(seeding, f_ids, ep_ids[safe_idx])
+            entry_d = jnp.where(seeding, f_d, ep_d[safe_idx])
+            entry_ids = jnp.where(on[:, None], entry_ids, -1)
+            entry_d = jnp.where(on[:, None], entry_d, INF)
+
             w_ids, w_d, _ = beam_search_layer(
-                vectors, scales, norms, adj_l, q, qn, entry_ids, entry_d,
-                ef_l, metric, expand=4, visited_bits=0,
-                max_iters=build_mi if level == 0 else None,
-                compact_k=build_ck if level == 0 else None,
+                vectors, scales, norms, adj_l, q_l, qn_l, entry_ids, entry_d,
+                efc_upper, metric, expand=4, visited_bits=0,
             )
-            if level > 0:
-                ep_ids = jnp.where(beam_on[:, None], w_ids, ep_ids)
-                ep_d = jnp.where(beam_on[:, None], w_d, ep_d)
+            # W becomes the next-lower layer's entry set for these points
+            scatter_idx = jnp.where(on, safe_idx, r - 1)
+            ep_ids = ep_ids.at[scatter_idx].set(
+                jnp.where(on[:, None], w_ids, ep_ids[scatter_idx])
+            )
+            ep_d = ep_d.at[scatter_idx].set(
+                jnp.where(on[:, None], w_d, ep_d[scatter_idx])
+            )
 
-            if extend:  # Alg 4 extendCandidates: widen the pool first
+            if extend:
                 c_ids, c_d = extend_candidates(
-                    vectors, scales, norms, adj_l, q, qn, w_ids, w_d, ef_l,
-                    metric,
+                    vectors, scales, norms, adj_l, q_l, qn_l, w_ids, w_d,
+                    efc_upper, metric,
                 )
             else:
                 c_ids, c_d = w_ids, w_d
@@ -441,26 +515,48 @@ def insert_round(
                 vectors, scales, norms, c_ids, c_d, m, metric, keep_pruned,
                 heuristic=heuristic,
             )
+            p_ids_l = jnp.where(on, p_ids[safe_idx], pad_row)
             adj_l = apply_edges(
-                adj_l,
-                vectors,
-                scales,
-                norms,
-                p_ids,
-                sel_ids,
-                sel_d,
-                beam_on,
-                m_cap,
-                rev_cap,
-                metric,
-                keep_pruned,
-                pad_row,
+                adj_l, vectors, scales, norms, p_ids_l, sel_ids, sel_d, on,
+                m_cap, rev_cap, metric, keep_pruned, pad_row,
                 heuristic=heuristic,
             )
-            if level == 0:
-                adj0 = adj_l
-            else:
-                adj_upper = adj_upper.at[level - 1].set(adj_l)
+            adj_upper = adj_upper.at[level - 1].set(adj_l)
+            continue
+
+        # ---- level 0: full-width connect for every valid point
+        seeding = (connect_start == 0)[:, None]
+        f_ids, f_d = first_entries(
+            cur, cur_d,
+            s_ids if use_seeds else None,
+            s_d if use_seeds else None,
+            efc_upper, True,
+        )
+        entry_ids = jnp.where(seeding, f_ids, ep_ids)
+        entry_d = jnp.where(seeding, f_d, ep_d)
+        entry_ids = jnp.where(valid[:, None], entry_ids, -1)
+        entry_d = jnp.where(valid[:, None], entry_d, INF)
+
+        w_ids, w_d, _ = beam_search_layer(
+            vectors, scales, norms, adj_l, q, qn, entry_ids, entry_d,
+            efc, metric, expand=4, visited_bits=0,
+            max_iters=build_mi, compact_k=build_ck,
+        )
+        if extend:
+            c_ids, c_d = extend_candidates(
+                vectors, scales, norms, adj_l, q, qn, w_ids, w_d, efc, metric,
+            )
+        else:
+            c_ids, c_d = w_ids, w_d
+        sel_ids, sel_d = select_neighbors(
+            vectors, scales, norms, c_ids, c_d, m, metric, keep_pruned,
+            heuristic=heuristic, scan_limit=select_scan,
+        )
+        adj0 = apply_edges(
+            adj_l, vectors, scales, norms, p_ids, sel_ids, sel_d, valid,
+            m_cap, rev_cap, metric, keep_pruned, pad_row,
+            heuristic=heuristic,
+        )
 
     # ---- entry point / max level (first-max ⇒ matches sequential ties)
     lv = jnp.where(valid, new_levels, -1)
@@ -551,6 +647,7 @@ class BuildState:
         # cost, so it defaults on for wide candidate blocks; iteration caps
         # measured recall-neutral but not faster, so build_mi stays None.
         self.build_mi: int | None = None
+        self.select_scan: int | None = None
         self.build_ck: int | None = (
             (3 * 4 * config.M_max0) // 4 if 4 * config.M_max0 >= 128 else None
         )
@@ -625,6 +722,16 @@ class BuildState:
             # descent is only needed as entry for connect layers >= 2 (seeds
             # cover layers 0-1) or while the seed bank is still empty
             need_descent = top_actual >= 2 or self.host_upper_count == 0
+            # packed upper-level widths must fit this round's actual counts
+            for lv_ in range(1, round_top + 1):
+                c_l = int((lvls[:count] >= lv_).sum())
+                w_l = upper_round_width(self.round_size, cfg.M, lv_)
+                if c_l > w_l:
+                    raise RuntimeError(
+                        f"round has {c_l} points at level>={lv_}, packed "
+                        f"width {w_l} — astronomically unlikely at default "
+                        f"mL; raise upper_round_width's margin if hit"
+                    )
             self.graph, self.seed_bank, self.seed_n = insert_round(
                 self.graph,
                 vecs,
@@ -646,6 +753,7 @@ class BuildState:
                 build_ck=self.build_ck,
                 extend=cfg.extend_candidates,
                 heuristic=cfg.select == "heuristic",
+                select_scan=self.select_scan,
             )
             self.host_max_level = max(self.host_max_level,
                                       int(lvls[:count].max()))

@@ -312,6 +312,15 @@ class ShardedIndex:
                     break
             round_top = min(round_top, l_max)
             need_descent = top_actual >= 2 or int(self._host_upper.min()) == 0
+            from ocaml_hnsw_tpu.models.build import upper_round_width
+
+            for lv_ in range(1, round_top + 1):
+                c_l = int((lvls >= lv_).sum(axis=1).max()) if lvls.size else 0
+                if c_l > upper_round_width(r, cfg.M, lv_):
+                    raise RuntimeError(
+                        f"shard round has {c_l} points at level>={lv_} — "
+                        f"exceeds the packed upper width"
+                    )
             stacked, self._seed_bank, self._seed_n = sharded_insert_round(
                 self.mesh, stacked,
                 jnp.asarray(vecs), jnp.asarray(lvls),

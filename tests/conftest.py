@@ -20,12 +20,22 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache: this machine has ONE cpu core, and the suite's
-# wall-clock is dominated by XLA:CPU compiles of the big jitted programs
-# (insert_round per mesh size, knn_search per shape).  Caching them across
-# test runs cuts repeat runs from ~40 min toward the compile-free floor.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NOTE: the JAX persistent compilation cache was tried here and REVERTED:
+# XLA:CPU AOT reload segfaults on this machine (cpu_aot_loader machine-feature
+# mismatch, "+prefer-no-gather ... could lead to SIGILL" — and it did).
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _free_jax_executables():
+    """XLA:CPU's LLVM JIT segfaults after enough live compiled executables
+    accumulate in one process on this machine (observed deterministically
+    ~30 tests into the suite, in backend_compile_and_load; each test passes
+    in isolation).  Dropping jit caches between modules avoids the crash at
+    the cost of cross-module recompiles."""
+    yield
+    jax.clear_caches()
