@@ -495,14 +495,15 @@ def insert_round(
                 vectors, scales, norms, adj_l, q_l, qn_l, entry_ids, entry_d,
                 efc_upper, metric, expand=4, visited_bits=0,
             )
-            # W becomes the next-lower layer's entry set for these points
-            scatter_idx = jnp.where(on, safe_idx, r - 1)
-            ep_ids = ep_ids.at[scatter_idx].set(
-                jnp.where(on[:, None], w_ids, ep_ids[scatter_idx])
-            )
-            ep_d = ep_d.at[scatter_idx].set(
-                jnp.where(on[:, None], w_d, ep_d[scatter_idx])
-            )
+            # W becomes the next-lower layer's entry set for these points.
+            # Fill rows scatter into a dedicated dump row (index r) so they
+            # can never collide with a real row's write — a clamped fill
+            # index could otherwise race the genuinely-active last row.
+            scatter_idx = jnp.where(on, safe_idx, r)
+            ep_ids = jnp.pad(ep_ids, ((0, 1), (0, 0)))
+            ep_d = jnp.pad(ep_d, ((0, 1), (0, 0)))
+            ep_ids = ep_ids.at[scatter_idx].set(w_ids)[:r]
+            ep_d = ep_d.at[scatter_idx].set(w_d)[:r]
 
             if extend:
                 c_ids, c_d = extend_candidates(

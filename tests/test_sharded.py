@@ -72,14 +72,17 @@ class TestShardedIncremental:
 
 
 class TestMeshSizes:
+    # minimal static shapes: each mesh size compiles its own insert_round and
+    # these compiles dominated the whole suite (885 s for S=2 at the previous
+    # sizes on this one-core machine)
     @pytest.mark.parametrize("n_dev", [1, 2])
     def test_small_meshes(self, n_dev):
-        data = clustered(200, 8, n_clusters=8, seed=5)
+        data = clustered(120, 8, n_clusters=6, seed=5)
         idx = ShardedIndex(space="l2", dim=8, mesh=make_mesh(n_dev))
-        idx.init_index(max_elements=300, M=8, ef_construction=32,
-                       round_size=32, max_level_cap=2)
+        idx.init_index(max_elements=200, M=4, ef_construction=16,
+                       round_size=16, max_level_cap=1)
         idx.add_items(data)
-        labels, _ = idx.knn_query(data[:10], k=1, ef=32)
+        labels, _ = idx.knn_query(data[:10], k=1, ef=16)
         assert (labels[:, 0] == np.arange(10)).all()
 
 
