@@ -4,8 +4,8 @@ set_ef / save_index / load_index / mark_deleted / resize_index), plus `BFIndex`,
 the exact brute-force companion index.
 
 The OCaml reference exposes a functor over DISTANCE/VALUE modules; the
-equivalent pluggability here is the metric registry ("l2", "ip", "cosine" —
-see ocaml_hnsw_tpu.ops.distance) chosen by the `space` argument.
+equivalent pluggability here is the metric registry (built-ins "l2", "ip",
+"cosine" plus any ops.metrics.register_metric entry) chosen by `space`.
 
 Batch shapes are padded to power-of-two buckets so jit compiles a bounded set
 of programs per (batch, k, ef).
@@ -16,11 +16,21 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ocaml_hnsw_tpu.config import HnswConfig, METRICS
+from ocaml_hnsw_tpu.config import HnswConfig
 from ocaml_hnsw_tpu.models.build import BuildState
 from ocaml_hnsw_tpu.models.search import knn_search
 from ocaml_hnsw_tpu.models.graph import GraphTensors
 from ocaml_hnsw_tpu import io as index_io
+
+
+def _check_space(space: str) -> None:
+    from ocaml_hnsw_tpu.ops.metrics import is_metric, registered_metrics
+
+    if not is_metric(space):
+        raise ValueError(
+            f"space must be a registered metric {registered_metrics()} "
+            f"(ops.metrics.register_metric adds new ones), got {space!r}"
+        )
 
 
 def _pad_batch(n: int) -> int:
@@ -37,16 +47,22 @@ class Index:
     #: graphs at or above this size use the MXU seed scan for layer-0 entry
     #: (below it, greedy descent's 1-entry beam is cheap and parity-exact)
     SEED_THRESHOLD = 4096
+    #: graphs at or above this size auto-use the packed inline-int8 engine
+    #: (models/packed.py) when its payload fits PACKED_BUDGET_BYTES — the
+    #: measured-fastest query path (small graphs keep the classic engine's
+    #: exact oracle-parity trajectories)
+    PACKED_THRESHOLD = 100_000
+    PACKED_BUDGET_BYTES = 8 << 30
 
     def __init__(self, space: str, dim: int):
-        if space not in METRICS:
-            raise ValueError(f"space must be one of {METRICS}, got {space!r}")
+        _check_space(space)
         self.space = space
         self.dim = dim
         self._state: BuildState | None = None
         self._labels = np.zeros((0,), dtype=np.int64)
         self._label_to_id: dict[int, int] = {}
         self._seeds = None  # SeedIndex cache; invalidated on every mutation
+        self._packed = None  # PackedGraph cache; invalidated on every mutation
         self.ef = 10
 
     # ------------------------------------------------------------- lifecycle
@@ -113,6 +129,7 @@ class Index:
             raise ValueError(f"duplicate labels not supported: {clash[:5]}")
         st.add(data)
         self._seeds = None  # upper-layer membership may have changed
+        self._packed = None  # adjacency changed
         for off, lab in enumerate(labels):
             self._label_to_id[int(lab)] = n_cur + off
         self._labels = np.concatenate([self._labels, labels])
@@ -168,6 +185,7 @@ class Index:
         new_state.rng = st.rng  # continue the level-sampling stream
         self._state = new_state
         self._seeds = None
+        self._packed = None
 
     # --------------------------------------------------------------- queries
     def set_ef(self, ef: int) -> None:
@@ -185,29 +203,92 @@ class Index:
             self._seeds = build_seed_index(st.graph, self.space)
         return self._seeds
 
+    def _packed_index(self):
+        """Lazy PackedGraph for the inline-int8 engine; None when the graph
+        is small (classic path keeps exact oracle-parity trajectories), the
+        metric has no matmul form, or the payload would exceed the HBM
+        budget (e.g. 768-d or 10M-node indexes — the classic engine handles
+        those)."""
+        st = self._require_init()
+        if int(st.graph.n) < self.PACKED_THRESHOLD:
+            return None
+        from ocaml_hnsw_tpu.ops.metrics import get_metric
+
+        if get_metric(self.space).matmul_score is None:
+            return None
+        from ocaml_hnsw_tpu.models.packed import pack_d_pad, pack_graph
+
+        deg = st.graph.adj0.shape[1]
+        if st.graph.n_cap * deg * pack_d_pad(self.dim) > self.PACKED_BUDGET_BYTES:
+            return None
+        if self._packed is None:
+            self._packed = pack_graph(st.graph, self.space)
+        return self._packed
+
     def knn_query(self, data, k: int = 1, ef: int | None = None,
-                  max_iters: int | None = None, **_ignored):
+                  max_iters: int | None = None,
+                  compact_k: int | str | None = "auto",
+                  engine: str = "auto", **_ignored):
         """Returns (labels i64[Q, k], dists f32[Q, k]); -1 label on padding.
 
-        max_iters optionally bounds the lockstep beam loop (throughput knob;
-        None = run to convergence)."""
+        The defaults ARE the benchmarked fast path (BASELINE.md headline):
+        engine="auto" serves large matmul-metric indexes from the packed
+        inline-int8 engine (models/packed.py — seed-scan entry, chunked
+        payload gathers, bf16 scoring, exact-f32 rerank) and everything else
+        from the classic engine with seed-scan entry plus candidate
+        compaction (compact_k="auto" = the bench harness's 3/4·expand·M_max0
+        rule on seed-scan-sized graphs; small-index results keep exact
+        oracle-parity trajectories).  engine="classic"/"packed" forces a
+        path (packed raises if unavailable).  max_iters bounds the lockstep
+        beam loop (throughput knob; None = run to convergence); the headline
+        numbers use max_iters≈15 at ef=96 — see bench.py."""
         st = self._require_init()
         if int(st.graph.n) == 0:
             raise RuntimeError("index is empty")
+        if engine not in ("auto", "classic", "packed"):
+            raise ValueError(f"engine must be auto|classic|packed, got {engine!r}")
         data = np.atleast_2d(np.asarray(data, dtype=np.float32))
         q_n = data.shape[0]
         b = _pad_batch(q_n)
         padded = np.zeros((b, self.dim), np.float32)
         padded[:q_n] = data
-        ids, dists = knn_search(
-            st.graph,
-            jnp.asarray(padded),
-            k=k,
-            ef=max(ef if ef is not None else self.ef, k),
-            metric=self.space,
-            max_iters=max_iters,
-            seeds=self._seed_index(),
-        )
+        seeds = self._seed_index()
+        packed = self._packed_index() if engine in ("auto", "packed") else None
+        if engine == "packed" and packed is None:
+            raise RuntimeError(
+                "packed engine unavailable: index too small, metric has no "
+                "matmul form, or payload exceeds PACKED_BUDGET_BYTES"
+            )
+        if packed is not None:
+            from ocaml_hnsw_tpu.models.packed import knn_search_packed
+
+            ids, dists = knn_search_packed(
+                st.graph,
+                packed,
+                jnp.asarray(padded),
+                k=k,
+                ef=max(ef if ef is not None else self.ef, k),
+                metric=self.space,
+                max_iters=max_iters,
+                seeds=seeds,
+                seed_e=8,
+            )
+        else:
+            if compact_k == "auto":
+                m0 = st.config.M_max0
+                compact_k = (3 * 4 * m0) // 4 if (
+                    seeds is not None and 4 * m0 >= 128
+                ) else None
+            ids, dists = knn_search(
+                st.graph,
+                jnp.asarray(padded),
+                k=k,
+                ef=max(ef if ef is not None else self.ef, k),
+                metric=self.space,
+                max_iters=max_iters,
+                seeds=seeds,
+                compact_k=compact_k,
+            )
         ids = np.asarray(ids)[:q_n]
         dists = np.asarray(dists)[:q_n]
         labels = np.where(ids >= 0, self._labels[np.maximum(ids, 0)], -1)
@@ -270,6 +351,7 @@ class Index:
             st.rng.set_state(rng_state)
         self._state = st
         self._seeds = None
+        self._packed = None
         self._labels = labels
         self._label_to_id = {int(l): i for i, l in enumerate(labels)}
         if max_elements is not None and max_elements > saved_max:
@@ -285,8 +367,7 @@ class FlatIndex:
     exact = False
 
     def __init__(self, space: str, dim: int):
-        if space not in METRICS:
-            raise ValueError(f"space must be one of {METRICS}, got {space!r}")
+        _check_space(space)
         self.space = space
         self.dim = dim
         self._flat = None
@@ -320,7 +401,9 @@ class FlatIndex:
         data = np.atleast_2d(np.asarray(data, dtype=np.float32))
         if data.shape[1] != self.dim:
             raise ValueError(f"expected dim {self.dim}, got {data.shape[1]}")
-        if self.space == "cosine":
+        from ocaml_hnsw_tpu.ops.metrics import get_metric
+
+        if get_metric(self.space).normalize_add:
             nrm = np.linalg.norm(data, axis=1, keepdims=True)
             data = data / np.where(nrm == 0, 1.0, nrm)
         n_new = data.shape[0]

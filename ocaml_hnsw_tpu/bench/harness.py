@@ -28,9 +28,11 @@ from ocaml_hnsw_tpu.bench import datasets
 def build_flat(data, metric: str, scan_dtype: str = "bf16",
                rerank_dtype: str = "f32"):
     """Load a dataset (host numpy or device array) into FlatTensors."""
+    from ocaml_hnsw_tpu.ops.metrics import get_metric
+
     if not isinstance(data, jnp.ndarray):
         data = np.asarray(data, dtype=np.float32)
-    if metric == "cosine":
+    if get_metric(metric).normalize_add:
         xp = jnp if isinstance(data, jnp.ndarray) else np
         nrm = xp.linalg.norm(data, axis=1, keepdims=True)
         data = data / xp.where(nrm == 0, 1.0, nrm)
@@ -57,16 +59,20 @@ def _gt_slab(flat, qc, k: int, metric: str, start, n_slab: int):
     from ocaml_hnsw_tpu.models.search import preprocess_queries
     from ocaml_hnsw_tpu.ops.distance import HIGHEST, INF
 
+    from ocaml_hnsw_tpu.ops.metrics import get_metric
+
+    m = get_metric(metric)
     q = preprocess_queries(qc, metric)
     rows = jax.lax.dynamic_slice_in_dim(
         flat.rerank, start, n_slab, axis=0
     ).astype(jnp.float32)
-    dot = jnp.einsum("bd,nd->bn", q, rows, precision=HIGHEST)
-    if metric == "l2":
-        nn = jnp.sum(rows * rows, axis=1)
-        d = nn[None, :] - 2.0 * dot
+    if m.matmul_score is not None:
+        dot = jnp.einsum("bd,nd->bn", q, rows, precision=HIGHEST)
+        nn = jnp.sum(rows * rows, axis=1) if m.needs_norms \
+            else jnp.zeros((rows.shape[0],), jnp.float32)
+        d = m.matmul_score(dot, nn[None, :])
     else:
-        d = -dot
+        d = m.pair_dist(rows[None], q)  # exact VPU form, fused over the slab
     ids_global = start + jnp.arange(n_slab)
     occupied = ids_global < flat.n
     d = jnp.where(occupied[None, :] & ~flat.deleted[ids_global][None, :],
@@ -247,6 +253,12 @@ def run_config(
     ef_sweep=((48, 8), (64, 10), (96, 12), (96, 14), (96, 15), (96, 16),
               (96, 18), (96, 21), (96, 24), (128, 32), (128, None),
               (256, None)),
+    # packed-engine sweep: (ef, max_iters, rerank_k), climbing recall.  The
+    # first two rows bracket the measured 0.95 crossing on 1M x 128 l2
+    # (mi=14 -> 0.9446 @ 64.6k QPS, mi=15 -> 0.9517 @ 61.4k); the tail is
+    # the safety ladder for harder datasets.
+    packed_sweep=((96, 14, 48), (96, 15, 48), (96, 16, 48), (96, 18, 48),
+                  (96, 21, 64), (128, 32, 64), (256, None, 128)),
     rerank_sweep=(32, 64, 128),
     target_recall: float = 0.95,
     qps_batch: int = 4096,
@@ -255,6 +267,9 @@ def run_config(
     scan_dtype: str = "bf16",
     rerank_dtype: str = "f32",
     engines=("hnsw", "flat"),
+    # which hnsw query paths the sweep may use (packed preferred when its
+    # availability policy holds; classic is the fallback ladder)
+    hnsw_engines=("packed", "classic"),
     verbose: bool = True,
 ) -> dict:
     """Full ann-benchmarks protocol on a synthetic stand-in dataset."""
@@ -296,30 +311,72 @@ def run_config(
         build_s = time.perf_counter() - t0
         log(f"hnsw built in {build_s:.1f}s = {n / build_s:.0f} vectors/s")
         seeds = build_seed_index(state.graph, metric) if n >= 4096 else None
-        # compact only when the candidate block is wide enough to matter
-        compact = 3 * (4 * cfg.M_max0) // 4 if 4 * cfg.M_max0 >= 128 else None
+        # packed inline-int8 engine (models/packed.py): the measured-fastest
+        # query path for matmul metrics at >=100k nodes whose payload fits
+        # one chip (same policy as api.Index._packed_index)
+        packed = None
+        pack_s = 0.0
+        if n >= 100_000 and "packed" in hnsw_engines:
+            from ocaml_hnsw_tpu.ops.metrics import get_metric
+            from ocaml_hnsw_tpu.models.packed import pack_d_pad, pack_graph
+
+            deg = state.graph.adj0.shape[1]
+            fits = (state.graph.n_cap * deg * pack_d_pad(dim)) <= (8 << 30)
+            if get_metric(metric).matmul_score is not None and fits:
+                t0 = time.perf_counter()
+                packed = pack_graph(state.graph, metric)
+                np.asarray(packed.scale)
+                pack_s = time.perf_counter() - t0
+                log(f"packed payload built in {pack_s:.1f}s "
+                    f"({packed.pay.nbytes / 2**30:.2f} GiB)")
         sweep = []
         chosen = None
-        for entry in ef_sweep:
-            ef, mi = entry if isinstance(entry, tuple) else (entry, None)
-            ids, _ = knn_search(state.graph, queries, k=k, ef=ef,
-                                metric=metric, max_iters=mi, seeds=seeds,
-                                compact_k=compact)
-            r = recall_of(np.asarray(ids), gt)
-            qps = measure_qps(
-                lambda q, ef=ef, mi=mi: knn_search(
-                    state.graph, q, k=k, ef=ef, metric=metric, max_iters=mi,
-                    seeds=seeds, compact_k=compact)[0],
-                queries, batch=qps_batch,
-            )
-            sweep.append({"ef": ef, "max_iters": mi, "recall": round(r, 4),
-                          "qps": round(qps)})
-            log(f"hnsw ef={ef} mi={mi}: recall@{k}={r:.4f} qps={qps:.0f}")
-            if chosen is None and r >= target_recall:
-                chosen = sweep[-1]
-                break
+        if packed is not None:
+            from ocaml_hnsw_tpu.models.packed import knn_search_packed
+
+            for ef, mi, rk in packed_sweep:
+                ids, _ = knn_search_packed(
+                    state.graph, packed, queries, k=k, ef=ef, metric=metric,
+                    max_iters=mi, seeds=seeds, seed_e=8, rerank_k=rk)
+                r = recall_of(np.asarray(ids), gt)
+                qps = measure_qps(
+                    lambda q, ef=ef, mi=mi, rk=rk: knn_search_packed(
+                        state.graph, packed, q, k=k, ef=ef, metric=metric,
+                        max_iters=mi, seeds=seeds, seed_e=8, rerank_k=rk)[0],
+                    queries, batch=qps_batch,
+                )
+                sweep.append({"engine": "packed", "ef": ef, "max_iters": mi,
+                              "rerank_k": rk, "recall": round(r, 4),
+                              "qps": round(qps)})
+                log(f"hnsw[packed] ef={ef} mi={mi} rk={rk}: "
+                    f"recall@{k}={r:.4f} qps={qps:.0f}")
+                if chosen is None and r >= target_recall:
+                    chosen = sweep[-1]
+                    break
+        if chosen is None and "classic" in hnsw_engines:
+            # compact only when the candidate block is wide enough to matter
+            compact = 3 * (4 * cfg.M_max0) // 4 if 4 * cfg.M_max0 >= 128 else None
+            for entry in ef_sweep:
+                ef, mi = entry if isinstance(entry, tuple) else (entry, None)
+                ids, _ = knn_search(state.graph, queries, k=k, ef=ef,
+                                    metric=metric, max_iters=mi, seeds=seeds,
+                                    compact_k=compact)
+                r = recall_of(np.asarray(ids), gt)
+                qps = measure_qps(
+                    lambda q, ef=ef, mi=mi: knn_search(
+                        state.graph, q, k=k, ef=ef, metric=metric, max_iters=mi,
+                        seeds=seeds, compact_k=compact)[0],
+                    queries, batch=qps_batch,
+                )
+                sweep.append({"engine": "classic", "ef": ef, "max_iters": mi,
+                              "recall": round(r, 4), "qps": round(qps)})
+                log(f"hnsw ef={ef} mi={mi}: recall@{k}={r:.4f} qps={qps:.0f}")
+                if chosen is None and r >= target_recall:
+                    chosen = sweep[-1]
+                    break
         results["hnsw"] = {
             "build_seconds": round(build_s, 2),
+            "pack_seconds": round(pack_s, 2),
             "build_vectors_per_second": round(n / build_s),
             "sweep": sweep,
             "best": chosen or sweep[-1],

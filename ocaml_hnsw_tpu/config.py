@@ -11,6 +11,8 @@ from __future__ import annotations
 import dataclasses
 import math
 
+#: built-in metrics; user metrics join via ops.metrics.register_metric (the
+#: reference's DISTANCE-functor extension point)
 METRICS = ("l2", "ip", "cosine")
 STORAGES = ("f32", "bf16", "int8")
 
@@ -60,8 +62,13 @@ class HnswConfig:
     storage: str = "f32"
 
     def __post_init__(self):
-        if self.metric not in METRICS:
-            raise ValueError(f"metric must be one of {METRICS}, got {self.metric!r}")
+        from ocaml_hnsw_tpu.ops.metrics import is_metric, registered_metrics
+
+        if not is_metric(self.metric):
+            raise ValueError(
+                f"metric must be one of {registered_metrics()} (see "
+                f"ops.metrics.register_metric), got {self.metric!r}"
+            )
         if self.storage not in STORAGES:
             raise ValueError(
                 f"storage must be one of {STORAGES}, got {self.storage!r}"

@@ -388,7 +388,10 @@ def insert_round(
     scales = graph.scales.at[p_ids].set(
         jnp.where(valid, qscales, graph.scales[p_ids])
     )
-    norms_store = qnorms_store if metric == "l2" else jnp.zeros_like(qnorms_store)
+    from ocaml_hnsw_tpu.ops.metrics import get_metric
+
+    norms_store = qnorms_store if get_metric(metric).needs_norms \
+        else jnp.zeros_like(qnorms_store)
     norms = graph.norms.at[p_ids].set(
         jnp.where(valid, norms_store, graph.norms[p_ids])
     )
@@ -406,11 +409,15 @@ def insert_round(
             q.astype(jnp.bfloat16), bank_vecs.astype(jnp.bfloat16),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         )
-        if metric == "l2":
+        mm = get_metric(metric).matmul_score
+        if mm is not None:
             bank_norms = jnp.sum(bank_vecs * bank_vecs, axis=1)
-            scores = bank_norms[None, :] - 2.0 * dot
+            scores = mm(dot, bank_norms[None, :])
         else:
-            scores = -dot
+            # registry metric without an MXU form: exact pair distances over
+            # the bank (the bank rows are already gathered, so this is VPU
+            # compute only — no extra HBM traffic)
+            scores = get_metric(metric).pair_dist(bank_vecs[None], q)
         live = jnp.arange(u_cap) < seed_n
         scores = jnp.where(live[None, :], scores, jnp.inf)
         _, ii = jax.lax.approx_min_k(scores, seed_e)
@@ -654,14 +661,18 @@ class BuildState:
         )
 
     def prep(self, data):
-        """Normalize (cosine) on whichever side the data lives."""
+        """Normalize at add time (cosine-style metrics) on whichever side the
+        data lives."""
+        from ocaml_hnsw_tpu.ops.metrics import get_metric
+
+        normalize = get_metric(self.config.metric).normalize_add
         if isinstance(data, jnp.ndarray):
-            if self.config.metric == "cosine":
+            if normalize:
                 nrm = jnp.linalg.norm(data, axis=1, keepdims=True)
                 data = data / jnp.where(nrm == 0, 1.0, nrm)
             return data.astype(jnp.float32)
         data = np.asarray(data, dtype=np.float32)
-        if self.config.metric == "cosine":
+        if normalize:
             nrm = np.linalg.norm(data, axis=1, keepdims=True)
             data = data / np.where(nrm == 0, 1.0, nrm)
         return data

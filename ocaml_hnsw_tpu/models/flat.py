@@ -100,6 +100,45 @@ def flat_add(flat: FlatTensors, rows, start, count) -> FlatTensors:
     )
 
 
+def _chunked_exact_candidates(flat: FlatTensors, q, rerank_k: int,
+                              metric: str, chunk: int = 4096):
+    """Top-rerank_k candidate ids under a registry metric that has no MXU
+    (matmul_score) form: lax.scan over N-chunks of the exact rows, computing
+    pair_dist on the VPU and merging a running top-k.  Correct for any
+    registered metric; linear in N without MXU help, so expect ~10× slower
+    than the bf16 scan path."""
+    from ocaml_hnsw_tpu.ops.metrics import get_metric
+
+    m = get_metric(metric)
+    n_cap = flat.n_cap  # multiple of 4096 (empty_flat)
+    b = q.shape[0]
+
+    def body(carry, start):
+        best_d, best_i = carry
+        rows = jax.lax.dynamic_slice_in_dim(
+            flat.rerank, start, chunk
+        ).astype(jnp.float32)
+        d = m.pair_dist(rows[None], q)  # [B, chunk]
+        ids = start + jnp.arange(chunk, dtype=jnp.int32)
+        dead = jax.lax.dynamic_slice_in_dim(flat.deleted, start, chunk)
+        live = (ids < flat.n) & ~dead
+        d = jnp.where(live[None, :], d, INF)
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(ids[None, :], (b, chunk))], axis=1
+        )
+        neg, idx = jax.lax.top_k(-cat_d, rerank_k)
+        return (-neg, jnp.take_along_axis(cat_i, idx, axis=1)), None
+
+    init = (
+        jnp.full((b, rerank_k), jnp.inf, jnp.float32),
+        jnp.zeros((b, rerank_k), jnp.int32),
+    )
+    starts = jnp.arange(n_cap // chunk, dtype=jnp.int32) * chunk
+    (_, best_i), _ = jax.lax.scan(body, init, starts)
+    return best_i
+
+
 @partial(jax.jit, static_argnames=("k", "rerank_k", "metric", "exact"))
 def flat_search(
     flat: FlatTensors,
@@ -115,10 +154,16 @@ def flat_search(
     top_k (slower; the hnswlib-parity BFIndex semantics).  Default: bf16 scan
     + approx_min_k + exact f32 rerank (near-exact, ~10× faster)."""
     from ocaml_hnsw_tpu.models.search import preprocess_queries
+    from ocaml_hnsw_tpu.ops.metrics import get_metric
 
+    m = get_metric(metric)
     q = preprocess_queries(queries, metric)
     rerank_k = max(k, min(rerank_k, flat.n_cap))
-    if exact:
+    if m.matmul_score is None:
+        # registry metric without an MXU form: exact chunked scan over the
+        # rerank rows via pair_dist (correct for any metric; slower — no MXU)
+        ids = _chunked_exact_candidates(flat, q, rerank_k, metric)
+    elif exact:
         dot = jnp.einsum(
             "bd,nd->bn", q, flat.rerank.astype(jnp.float32), precision=HIGHEST
         )
@@ -140,28 +185,23 @@ def flat_search(
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    if metric == "l2":
-        scores = flat.norms[None, :] - 2.0 * dot  # +‖q‖² is rank-invariant
-    else:
-        scores = -dot  # 1 - dot, shifted (rank-invariant)
-    scores = jnp.where(flat.deleted[None, :], INF, scores)
-    # empty slots carry norms=+inf (l2); for ip/cosine mask them explicitly
-    if metric != "l2":
-        occupied = jnp.arange(flat.n_cap) < flat.n
-        scores = jnp.where(occupied[None, :], scores, INF)
-
-    if exact:
-        neg, ids = jax.lax.top_k(-scores, rerank_k)
-    else:
-        _, ids = jax.lax.approx_min_k(scores, rerank_k, recall_target=0.95)
+    if m.matmul_score is not None:
+        # rank-equivalent scores from the one MXU pass (e.g. l2 drops +‖q‖²)
+        scores = m.matmul_score(dot, flat.norms[None, :])
+        scores = jnp.where(flat.deleted[None, :], INF, scores)
+        # empty slots carry norms=+inf (l2-style metrics consume them); for
+        # norm-free metrics mask unoccupied slots explicitly
+        if not m.needs_norms:
+            occupied = jnp.arange(flat.n_cap) < flat.n
+            scores = jnp.where(occupied[None, :], scores, INF)
+        if exact:
+            neg, ids = jax.lax.top_k(-scores, rerank_k)
+        else:
+            _, ids = jax.lax.approx_min_k(scores, rerank_k, recall_target=0.95)
 
     # exact rerank of the candidates (f32, or bf16 upcast when so stored)
     rows = flat.rerank[ids].astype(jnp.float32)  # [B, rerank_k, D]
-    if metric == "l2":
-        diff = rows - q[:, None, :]
-        d = jnp.sum(diff * diff, axis=-1)
-    else:
-        d = 1.0 - jnp.einsum("bkd,bd->bk", rows, q, precision=HIGHEST)
+    d = m.pair_dist(rows, q)
     # mask tombstones and unoccupied slots (their rerank rows are zeros and
     # would otherwise score a finite distance)
     d = jnp.where(flat.deleted[ids] | (ids >= flat.n), INF, d)

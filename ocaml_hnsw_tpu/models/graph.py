@@ -107,7 +107,9 @@ def from_oracle(oracle, max_elements: int | None = None) -> GraphTensors:
     qrows, qscales, qnorms = quantize_rows(jnp.asarray(vectors_f), cfg.storage)
     vectors = np.asarray(qrows)
     scales = np.asarray(qscales)
-    if cfg.metric == "l2":
+    from ocaml_hnsw_tpu.ops.metrics import get_metric
+
+    if get_metric(cfg.metric).needs_norms:
         norms = np.asarray(qnorms)
     else:
         norms = np.zeros((n_cap,), np.float32)

@@ -1,0 +1,348 @@
+"""Packed inline-neighbor query engine — the round-3 redesign of the
+reference's `search_layer` hot loop (SURVEY.md §3.3) around the measured v5e
+memory system.
+
+Why this exists (measured on v5e, 1M × 128-d, B=8192, 15 iterations):
+
+  * The classic engine's cost is the per-iteration gather of E·deg candidate
+    vector rows: 96 × 512 B f32 rows/query/iter = 9.09 ms/iter, 62% of the
+    whole query batch (BASELINE.md per-stage profile).  Random-row gathers
+    are transaction-bound (~90 M rows/s), not bandwidth-bound, so the only
+    lever is *fewer, fatter transactions*.
+  * Inline the neighborhood: store, per node, its deg neighbors' vectors as
+    int8 in one contiguous payload.  Expanding E=4 nodes then gathers E·C
+    consecutive ~2 KB chunk rows instead of E·deg scattered 512 B rows:
+    2.96 ms/iter for the same frontier — 3.1× less HBM time.
+  * Score the gathered block with a bf16 elementwise multiply-reduce
+    (+1.95 ms/iter).  Every int8-typed contraction form (einsum,
+    dot_general, elementwise-int32) measured +3.2 ms/iter at this shape —
+    the lane-dimension integer reduce is the slow path on the VPU.
+  * Net effect at the headline operating point: 159.6 → 131.8 ms per 8192
+    queries (51k → 62k QPS) at equal recall.
+
+Distance arithmetic runs in the quantized domain: vectors are quantized with
+ONE global scale s (x8 = round(x/s)), queries likewise, and
+
+    d = s²·(‖x8‖² − 2·x8·q8) + ‖q‖²           (l2)
+    d = 1 − s²·(x8·q8)                         (ip / cosine)
+
+where ‖x8‖² is a precomputed exact int32 and x8·q8 is the bf16
+multiply-reduce (int8 values are bf16-exact; each product rounds to 8
+significand bits — noise well under the s-grid quantization error).  Beam
+state stays in true-f32-distance domain, so the bitonic merge machinery, the
+seed-scan entry, and tombstone semantics are shared with models/search.py
+unchanged; a final exact-f32 rerank of the top beam makes the returned top-k
+ordering exact.
+
+The payload costs N·deg·D_pad bytes of HBM (4.1 GB at 1M × 128-d, M=16) and
+is rebuilt by `pack_graph` after the graph changes — a few hundred ms at 1M,
+amortized across queries (api.Index packs lazily; streaming repacks per
+ingest round).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ocaml_hnsw_tpu.models.graph import GraphTensors
+from ocaml_hnsw_tpu.models.search import (
+    SeedIndex,
+    seed_entries,
+    descend,
+    preprocess_queries,
+)
+from ocaml_hnsw_tpu.ops.distance import dists_to_ids, query_norms, INF
+from ocaml_hnsw_tpu.ops.bitset import first_occurrence_mask
+from ocaml_hnsw_tpu.ops.sortmerge import merge_into_beam
+from ocaml_hnsw_tpu.utils import round_up
+
+
+class PackedGraph(NamedTuple):
+    """Inline-neighbor payload tensors (a pytree; all shapes static).
+
+    pay:   int8[N_cap·C, W]   node i's neighbors' int8 vectors, flattened to C
+                              chunk rows of W bytes each (W·C = deg·D_pad)
+    meta:  int32[N_cap, 2·deg]  [adjacency ids | int32 norms ‖x8‖²]; ids are
+                              -1 sentinels exactly like GraphTensors.adj0
+    scale: f32[]              the global quantization scale s
+    """
+
+    pay: jnp.ndarray
+    meta: jnp.ndarray
+    scale: jnp.ndarray
+
+    @property
+    def deg(self) -> int:
+        return self.meta.shape[1] // 2
+
+    @property
+    def n_cap(self) -> int:
+        return self.meta.shape[0]
+
+    @property
+    def chunks(self) -> int:
+        return self.pay.shape[0] // self.meta.shape[0]
+
+    @property
+    def d_pad(self) -> int:
+        return (self.pay.shape[1] * self.chunks) // self.deg
+
+
+def _chunk_width(total: int) -> int:
+    """Chunk rows of ~2 KB (the measured sweet spot: 2048 B rows gather at
+    46 GB/s; 512 B rows at 30; >4 KB rows fall off the fat-row cliff)."""
+    for w in (2048, 1536, 1280, 1024, 512, 256, 128):
+        if total % w == 0 and total // w >= 1:
+            return w
+    return total
+
+
+def pack_d_pad(dim: int) -> int:
+    """Payload inner dim: pad to the int8 lane width so the [B,E,deg,D] view
+    of the gathered chunk rows is a relayout-free reshape."""
+    return round_up(dim, 128)
+
+
+@partial(jax.jit, static_argnames=("d_pad", "w", "slab"))
+def _pack_rounds(vectors, scales, adj0, inv_s, d_pad: int, w: int, slab: int):
+    n_cap, deg = adj0.shape
+    d = vectors.shape[1]
+    c = (deg * d_pad) // w
+    pay = jnp.zeros((n_cap * c, w), jnp.int8)
+    meta = jnp.zeros((n_cap, 2 * deg), jnp.int32)
+
+    def body(i, carry):
+        pay, meta = carry
+        start = i * slab
+        a = jax.lax.dynamic_slice_in_dim(adj0, start, slab)  # [S, deg]
+        safe = jnp.maximum(a, 0)
+        rows = vectors[safe].astype(jnp.float32)
+        if vectors.dtype == jnp.int8:
+            rows = rows * scales[safe][:, :, None]
+        y = jnp.clip(jnp.round(rows * inv_s), -127, 127).astype(jnp.int8)
+        yi = y.astype(jnp.int32)
+        nrm = jnp.sum(yi * yi, axis=-1)  # [S, deg] int32, exact
+        if d_pad > d:
+            y = jnp.pad(y, ((0, 0), (0, 0), (0, d_pad - d)))
+        pay = jax.lax.dynamic_update_slice_in_dim(
+            pay, y.reshape(slab * c, w), start * c, 0
+        )
+        meta = jax.lax.dynamic_update_slice_in_dim(
+            meta, jnp.concatenate([a, nrm], axis=1), start, 0
+        )
+        return pay, meta
+
+    return jax.lax.fori_loop(0, n_cap // slab, body, (pay, meta))
+
+
+def pack_graph(graph: GraphTensors, metric: str) -> PackedGraph:
+    """Build the inline-neighbor payload from a (re)built graph.
+
+    One pass over adjacency in HBM-friendly slabs; the global scale is the
+    max |component| of the stored vectors (dequantized), so integer-grid data
+    quantizes exactly.  Must be re-run after any insert (api.Index does this
+    lazily via a dirty flag)."""
+    from ocaml_hnsw_tpu.ops.metrics import get_metric
+
+    if get_metric(metric).matmul_score is None:
+        raise ValueError(
+            f"metric {metric!r} has no matmul_score; the packed engine's "
+            "int8 dot path needs one — use the classic knn_search"
+        )
+    deg = graph.adj0.shape[1]
+    d_pad = pack_d_pad(graph.dim)
+    w = _chunk_width(deg * d_pad)
+    n_cap = graph.n_cap
+    slab = min(8192, n_cap)
+    while n_cap % slab:
+        slab //= 2
+    vmax = jnp.max(jnp.abs(graph.vectors.astype(jnp.float32)))
+    if graph.vectors.dtype == jnp.int8:
+        vmax = jnp.max(
+            jnp.abs(graph.vectors.astype(jnp.float32))
+            * graph.scales[:, None]
+        )
+    s = jnp.maximum(vmax / 127.0, 1e-30)
+    pay, meta = _pack_rounds(
+        graph.vectors, graph.scales, graph.adj0, 1.0 / s,
+        d_pad=d_pad, w=w, slab=slab,
+    )
+    return PackedGraph(pay=pay, meta=meta, scale=s.astype(jnp.float32))
+
+
+def quantize_queries(q, scale):
+    """Round preprocessed queries onto the payload's s-grid (int8[B, D])."""
+    return jnp.clip(jnp.round(q / scale), -127, 127).astype(jnp.int8)
+
+
+def beam_search_layer_packed(
+    packed: PackedGraph,
+    q8,  # int8[B, D_pad]
+    qn,  # f32[B]  ‖q‖² (zeros for ip/cosine)
+    entry_ids,  # i32[B, E0]
+    entry_d,  # f32[B, E0]
+    ef: int,
+    needs_norms: bool,
+    max_iters: int,
+    expand: int = 4,
+):
+    """The packed layer-0 beam loop: per iteration, expand the E nearest
+    unexpanded beam nodes by gathering their meta row (ids+norms) and payload
+    chunk rows, scoring all E·deg inlined neighbors with one int8 MXU
+    contraction.  Beam dedup only (the classic engine's measured-default
+    visited mode); distances land in true-f32 domain so the shared bitonic
+    merge applies unchanged.  Returns (ids, d, iters) like the classic
+    layer."""
+    b = q8.shape[0]
+    deg, c, w = packed.deg, packed.chunks, packed.pay.shape[1]
+    d_pad = packed.d_pad
+    e0 = entry_ids.shape[1]
+    expand = max(1, min(expand, ef))
+    s2 = packed.scale * packed.scale
+
+    uniq = first_occurrence_mask(entry_ids) & (entry_ids >= 0)
+    entry_ids = jnp.where(uniq, entry_ids, -1)
+    entry_d = jnp.where(uniq, entry_d, INF)
+    pad = max(ef - e0, 0)
+    all_d = jnp.pad(entry_d, ((0, 0), (0, pad)), constant_values=jnp.inf)
+    all_ids = jnp.pad(entry_ids, ((0, 0), (0, pad)), constant_values=-1)
+    neg, idx = jax.lax.top_k(-all_d, ef)
+    beam_d = -neg
+    beam_ids = jnp.take_along_axis(all_ids, idx, axis=1)
+    beam_exp = beam_ids < 0
+
+    def cond(state):
+        _, _, beam_exp, it = state
+        return jnp.any(~beam_exp) & (it < max_iters)
+
+    q16 = q8.astype(jnp.bfloat16)
+
+    def body(state):
+        beam_ids, beam_d, beam_exp, it = state
+        # E nearest unexpanded beam members (beam sorted ⇒ cumsum mask).
+        # (A vmapped-searchsorted variant of this selection measured 2.2
+        # ms/iter SLOWER — the one-hot/argmax form is the fast one.)
+        unexp = ~beam_exp
+        slot = jnp.cumsum(unexp.astype(jnp.int32), axis=1)
+        sel_mask = unexp & (slot <= expand)
+        beam_exp = beam_exp | sel_mask
+        oh = sel_mask[:, None, :] & (
+            slot[:, None, :] == jnp.arange(1, expand + 1)[None, :, None]
+        )
+        pos = jnp.argmax(oh, axis=2)
+        active = jnp.any(oh, axis=2)
+        nodes = jnp.where(
+            active, jnp.take_along_axis(beam_ids, pos, axis=1), -1
+        )  # [B, E]
+        safe = jnp.maximum(nodes, 0)
+        # meta row: neighbor ids + their int32 norms, one thin gather
+        mrow = packed.meta[safe]  # [B, E, 2·deg]
+        nbrs = jnp.where((nodes >= 0)[:, :, None], mrow[:, :, :deg], -1)
+        nrm = mrow[:, :, deg:].astype(jnp.float32)  # [B, E, deg]
+        # payload chunk rows -> [B, E, deg, D_pad] int8 (relayout-free view)
+        cid = (safe[:, :, None] * c
+               + jnp.arange(c, dtype=jnp.int32)[None, None, :]).reshape(b, -1)
+        vec8 = packed.pay[cid].reshape(b, expand, deg, d_pad)
+        # dot as a bf16 elementwise multiply-reduce: the int8 dot_general /
+        # einsum forms all cost +3.2 ms/iter at this shape (lane-dim int32
+        # reduce); bf16 fma + f32 accumulate measured +1.95.  int8 values are
+        # exact in bf16; products round to 8 significand bits — noise well
+        # under the global-scale quantization error, and the final exact-f32
+        # rerank absorbs both.
+        dot = jnp.sum(
+            vec8.astype(jnp.bfloat16) * q16[:, None, None, :],
+            axis=-1, dtype=jnp.float32,
+        )
+        if needs_norms:
+            d = s2 * (nrm - 2.0 * dot) + qn[:, None, None]
+        else:
+            d = 1.0 - s2 * dot
+        cand_ids = nbrs.reshape(b, -1)
+        cand_d = d.reshape(b, -1)
+        in_beam = jnp.any(
+            cand_ids[:, :, None] == beam_ids[:, None, :], axis=2
+        )
+        fresh = (cand_ids >= 0) & ~in_beam & first_occurrence_mask(cand_ids)
+        cand_ids = jnp.where(fresh, cand_ids, -1)
+        cand_d = jnp.where(fresh, cand_d, INF)
+        beam_d, (beam_ids, beam_exp) = merge_into_beam(
+            beam_d,
+            [(beam_ids, -1), (beam_exp, True)],
+            cand_d,
+            [(cand_ids, -1), (cand_ids < 0, True)],
+            ef,
+        )
+        return beam_ids, beam_d, beam_exp, it + 1
+
+    beam_ids, beam_d, beam_exp, iters = jax.lax.while_loop(
+        cond, body, (beam_ids, beam_d, beam_exp, jnp.int32(0))
+    )
+    return beam_ids, beam_d, iters
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "ef", "metric", "max_iters", "expand", "seed_e", "rerank_k",
+    ),
+)
+def knn_search_packed(
+    graph: GraphTensors,
+    packed: PackedGraph,
+    queries,  # f32[B, D]
+    k: int,
+    ef: int,
+    metric: str,
+    max_iters: int | None = None,
+    expand: int = 4,
+    seeds: SeedIndex | None = None,
+    seed_e: int = 16,
+    rerank_k: int | None = None,
+):
+    """Alg 5 on the packed engine: seed-scan (or greedy) entry, packed int8
+    beam at layer 0, then an exact-f32 rerank of the top `rerank_k` beam
+    entries so the returned (ids, dists) ordering is exact despite the
+    quantized beam.  Same (ids i32[B,k], d f32[B,k]) contract as
+    models.search.knn_search, including tombstone filtering."""
+    from ocaml_hnsw_tpu.ops.metrics import get_metric
+
+    ef = max(ef, k)
+    if max_iters is None:
+        max_iters = max(64, (8 * ef) // max(1, expand))
+    if rerank_k is None:
+        rerank_k = min(ef, max(2 * k, 16))
+    rerank_k = max(k, min(rerank_k, ef))
+    needs_norms = get_metric(metric).needs_norms
+    q = preprocess_queries(queries, metric)
+    qn = query_norms(q, metric)
+    if seeds is not None:
+        entry_ids, entry_d = seed_entries(graph, seeds, q, qn, seed_e, metric)
+    else:
+        cur, cur_d = descend(graph, q, qn, metric, stop_level=0)
+        entry_ids, entry_d = cur[:, None], cur_d[:, None]
+    d_pad = packed.d_pad
+    q8 = quantize_queries(q, packed.scale)
+    if d_pad > q8.shape[1]:
+        q8 = jnp.pad(q8, ((0, 0), (0, d_pad - q8.shape[1])))
+    ids, d, _ = beam_search_layer_packed(
+        packed, q8, qn, entry_ids, entry_d, ef,
+        needs_norms=needs_norms, max_iters=max_iters, expand=expand,
+    )
+    # tombstone filter on the approx beam, keep top rerank_k live candidates
+    dead = graph.deleted[jnp.maximum(ids, 0)] | (ids < 0)
+    d = jnp.where(dead, INF, d)
+    neg, idx = jax.lax.top_k(-d, rerank_k)
+    top_ids = jnp.where(jnp.isinf(-neg), -1, jnp.take_along_axis(ids, idx, axis=1))
+    # exact f32 rerank (one small gather) -> exact final ordering
+    d_exact = dists_to_ids(
+        graph.vectors, graph.scales, graph.norms, q, qn, top_ids, metric
+    )
+    neg2, idx2 = jax.lax.top_k(-d_exact, k)
+    out_d = -neg2
+    out_ids = jnp.take_along_axis(top_ids, idx2, axis=1)
+    out_ids = jnp.where(jnp.isinf(out_d), -1, out_ids)
+    return out_ids, out_d

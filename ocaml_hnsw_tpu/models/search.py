@@ -58,21 +58,6 @@ from ocaml_hnsw_tpu.ops.bitset import (
 from ocaml_hnsw_tpu.ops.sortmerge import merge_into_beam, bitonic_sort
 
 
-def pick_visited_bits(n_cap: int, ef: int, deg: int) -> int | None:
-    """Auto-choose the visited representation: exact bitset for small indexes,
-    hashed 2^b bitmap once exact would be larger.
-
-    Sizing: distinct visited nodes ≈ expansions·deg·fresh ≈ 1.2·ef·deg, so
-    b = log2(ef·deg·96) gives a ~1% collision (false-skip) rate — the recall
-    cost is far below the noise of ±1 ef step, and the bitmap (2^b/8 bytes per
-    query) is what keeps the while_loop's unavoidable buffer copy affordable."""
-    target = max(ef * deg * 96, 1 << 16)
-    b = min(max(int(math.ceil(math.log2(target))), 16), 21)
-    if n_cap <= (1 << b):
-        return None  # exact is smaller (or equal) and has no collisions
-    return b
-
-
 def _visit_idx(ids, visited_bits: int | None):
     """Index into the visited bitmap for each id (identity or hashed)."""
     if visited_bits is None:
@@ -284,9 +269,10 @@ def build_seed_index(graph: GraphTensors, metric: str) -> SeedIndex | None:
     from ocaml_hnsw_tpu.ops.distance import gather_dequant
 
     vecs = gather_dequant(graph.vectors, graph.scales, ids[None, :])[0]
-    norms = jnp.sum(vecs * vecs, axis=1) if metric == "l2" else jnp.zeros(
-        (u_cap,), jnp.float32
-    )
+    from ocaml_hnsw_tpu.ops.metrics import get_metric
+
+    norms = jnp.sum(vecs * vecs, axis=1) if get_metric(metric).needs_norms \
+        else jnp.zeros((u_cap,), jnp.float32)
     return SeedIndex(ids=ids, vecs=vecs.astype(jnp.bfloat16), norms=norms,
                      bias=jnp.zeros((u_cap,), jnp.float32))
 
@@ -301,7 +287,9 @@ def seed_index_from_bank(graph: GraphTensors, bank, n_live, metric: str
 
     vecs = gather_dequant(graph.vectors, graph.scales, safe[None, :])[0]
     live = jnp.arange(bank.shape[0]) < n_live
-    if metric == "l2":
+    from ocaml_hnsw_tpu.ops.metrics import get_metric
+
+    if get_metric(metric).needs_norms:
         norms = jnp.sum(vecs * vecs, axis=1)
     else:
         norms = jnp.zeros((bank.shape[0],), jnp.float32)
@@ -318,14 +306,19 @@ def seed_entries(graph: GraphTensors, seeds: SeedIndex, q, qn, e: int,
     """Top-E upper-layer nodes per query: one MXU scan + approx_min_k, then
     exact re-scoring of the E winners (so beam ordering sees true distances).
     Returns (ids i32[B, E], d f32[B, E])."""
+    from ocaml_hnsw_tpu.ops.metrics import get_metric
+
+    mm = get_metric(metric).matmul_score
+    if mm is None:
+        raise ValueError(
+            f"metric {metric!r} has no matmul_score; seed-scan entry needs "
+            "one — pass seeds=None to use greedy descent"
+        )
     dot = jax.lax.dot_general(
         q.astype(jnp.bfloat16), seeds.vecs, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    if metric == "l2":
-        scores = seeds.norms[None, :] - 2.0 * dot  # +||q||² rank-invariant
-    else:
-        scores = -dot
+    scores = mm(dot, seeds.norms[None, :])  # rank-equivalent (e.g. +‖q‖² dropped)
     scores = scores + seeds.bias[None, :]
     _, ii = jax.lax.approx_min_k(scores, e)
     live = jnp.take_along_axis(
@@ -364,9 +357,11 @@ def descend(graph: GraphTensors, q, qn, metric: str, stop_level: int = 0):
 
 
 def preprocess_queries(q, metric: str):
-    """Match the oracle's query prep: cosine normalizes at query time."""
+    """Match the oracle's query prep (e.g. cosine normalizes at query time)."""
+    from ocaml_hnsw_tpu.ops.metrics import get_metric
+
     q = q.astype(jnp.float32)
-    if metric == "cosine":
+    if get_metric(metric).normalize_query:
         n = jnp.linalg.norm(q, axis=-1, keepdims=True)
         q = q / jnp.where(n == 0, 1.0, n)
     return q
@@ -417,6 +412,10 @@ def knn_search(
         # ≲ 2·ef nodes at ef/expand-ish iterations; 8× that is far outside
         # normal convergence yet bounds the pathological all-duplicates case.
         max_iters = max(64, (8 * ef) // max(1, expand))
+    from ocaml_hnsw_tpu.ops.metrics import get_metric
+
+    if seeds is not None and get_metric(metric).matmul_score is None:
+        seeds = None  # registry metric without an MXU form: greedy descent
     q = preprocess_queries(queries, metric)
     qn = query_norms(q, metric)
     if seeds is not None:

@@ -21,13 +21,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ocaml_hnsw_tpu.ops.metrics import get_metric
+
 INF = jnp.float32(jnp.inf)
 HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def query_norms(q: jax.Array, metric: str) -> jax.Array:
-    """Per-query ||q||² for the l2 expansion; zeros otherwise. [B]"""
-    if metric == "l2":
+    """Per-query ||q||² for norm-consuming metrics (l2); zeros otherwise. [B]"""
+    if get_metric(metric).needs_norms:
         return jnp.sum(q * q, axis=-1)
     return jnp.zeros(q.shape[:-1], dtype=q.dtype)
 
@@ -55,12 +57,7 @@ def dists_to_ids(
         rows = rows.astype(jnp.float32) * scales[safe][:, :, None]
     elif rows.dtype != jnp.float32:
         rows = rows.astype(jnp.float32)
-    if metric == "l2":
-        diff = rows - q[:, None, :]
-        d = jnp.sum(diff * diff, axis=-1)
-    else:  # ip / cosine
-        dot = jnp.einsum("bkd,bd->bk", rows, q, precision=HIGHEST)
-        d = 1.0 - dot
+    d = get_metric(metric).pair_dist(rows, q)
     return jnp.where(ids < 0, INF, d)
 
 
@@ -83,11 +80,17 @@ def pairwise_dists(
 
     Used by the vectorized select-neighbors heuristic (paper Alg 4), where the
     O(|C|·M) sequential distance loop becomes one small batched matmul
-    (SURVEY.md §7 step 4).  The [B,K,K,D] diff form would blow memory, so this
-    stays a matmul at HIGHEST precision.
+    (SURVEY.md §7 step 4).  The [B,K,K,D] diff form would blow memory, so the
+    built-in metrics stay a matmul at HIGHEST precision; registry metrics
+    without a matmul form fall back to a vmapped pair_dist (XLA fuses the
+    elementwise chain, but custom-metric builds are expected to be slower).
     """
-    dot = jnp.einsum("bkd,bjd->bkj", x, x, precision=precision)
     if metric == "l2":
+        dot = jnp.einsum("bkd,bjd->bkj", x, x, precision=precision)
         d = x_norms[:, :, None] - 2.0 * dot + x_norms[:, None, :]
         return jnp.maximum(d, 0.0)
-    return 1.0 - dot
+    if metric in ("ip", "cosine"):
+        return 1.0 - jnp.einsum("bkd,bjd->bkj", x, x, precision=precision)
+    m = get_metric(metric)
+    # d[b, k, j] = dist(query=x[b, k], row=x[b, j]) per pair_dist convention
+    return jax.vmap(lambda xk: m.pair_dist(x, xk), in_axes=1, out_axes=1)(x)

@@ -30,7 +30,20 @@ def pairwise_distances(queries: np.ndarray, data: np.ndarray, metric: str) -> np
         qn = np.where(qn == 0, 1.0, qn)
         xn = np.where(xn == 0, 1.0, xn)
         return 1.0 - (queries / qn) @ (data / xn).T
-    raise ValueError(f"unknown metric {metric!r}")
+    # registry metrics: per-query pair_dist rows (NumPy side of the functor)
+    from ocaml_hnsw_tpu.ops.metrics import get_metric
+
+    m = get_metric(metric)
+    if m.normalize_add:
+        xn = np.linalg.norm(data, axis=1, keepdims=True)
+        data = data / np.where(xn == 0, 1.0, xn)
+    if m.normalize_query:
+        qn = np.linalg.norm(queries, axis=1, keepdims=True)
+        queries = queries / np.where(qn == 0, 1.0, qn)
+    out = np.empty((queries.shape[0], data.shape[0]), np.float32)
+    for i, q in enumerate(queries):
+        out[i] = m.pair_dist_np(data, q)
+    return out
 
 
 def bruteforce_knn(

@@ -49,20 +49,29 @@ class OracleHNSW:
         self.max_level = -1
 
     # ------------------------------------------------------------------ dist
-    def _prep(self, vec: np.ndarray) -> np.ndarray:
+    def _prep(self, vec: np.ndarray, query: bool = False) -> np.ndarray:
+        from ocaml_hnsw_tpu.ops.metrics import get_metric
+
+        m = get_metric(self.metric)
         vec = np.asarray(vec, dtype=np.float32)
-        if self.metric == "cosine":
+        if m.normalize_query if query else m.normalize_add:
             n = float(np.linalg.norm(vec))
             if n > 0:
                 vec = vec / n
         return vec
 
     def _dist(self, a: np.ndarray, b: np.ndarray) -> float:
+        # fast scalar paths for the built-ins (the oracle makes millions of
+        # these calls); registry metrics go through their NumPy pair form
         if self.metric == "l2":
             d = a - b
             return float(np.dot(d, d))
-        # ip and cosine: vectors pre-normalized for cosine at add/query time
-        return float(1.0 - np.dot(a, b))
+        if self.metric in ("ip", "cosine"):
+            # cosine vectors pre-normalized at add/query time
+            return float(1.0 - np.dot(a, b))
+        from ocaml_hnsw_tpu.ops.metrics import get_metric
+
+        return float(get_metric(self.metric).pair_dist_np(b[None, :], a)[0])
 
     # ----------------------------------------------------------------- Alg 2
     def _search_layer(self, q: np.ndarray, eps: list[int], ef: int, lc: int):
@@ -185,7 +194,7 @@ class OracleHNSW:
         out_ids = np.full((queries.shape[0], k), -1, dtype=np.int64)
         out_d = np.full((queries.shape[0], k), np.inf, dtype=np.float32)
         for qi, q in enumerate(queries):
-            q = self._prep(q)
+            q = self._prep(q, query=True)
             ep = [self.entry]
             for lc in range(self.max_level, 0, -1):
                 ep = [self._search_layer(q, ep, 1, lc)[0][1]]

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
-from ocaml_hnsw_tpu.config import HnswConfig, METRICS
+from ocaml_hnsw_tpu.config import HnswConfig
 from ocaml_hnsw_tpu.models.graph import GraphTensors, empty_graph
 from ocaml_hnsw_tpu.models.search import knn_search, seed_index_from_bank
 from ocaml_hnsw_tpu.models.build import (
@@ -125,6 +125,7 @@ def sharded_insert_round(
     need_descent: bool,
     extend: bool = False,
     heuristic: bool = True,
+    storage: str = "f32",
 ):
     """SPMD build step: every device runs one insert_round on its own shard.
     No cross-shard edges exist (shards are independent subindexes), so the
@@ -137,6 +138,7 @@ def sharded_insert_round(
             efc=efc, m=m, m_max0=m_max0, rev_cap=rev_cap, metric=metric,
             keep_pruned=keep_pruned, round_top=round_top,
             need_descent=need_descent, extend=extend, heuristic=heuristic,
+            storage=storage,
         )
         expand = lambda a: jax.tree.map(lambda x: x[None], a)
         return expand(g2), expand(bank2), expand(bn2)
@@ -161,8 +163,13 @@ class ShardedIndex:
     device (S=1) or the CPU-simulated mesh used in tests."""
 
     def __init__(self, space: str, dim: int, mesh: Mesh | None = None):
-        if space not in METRICS:
-            raise ValueError(f"space must be one of {METRICS}, got {space!r}")
+        from ocaml_hnsw_tpu.ops.metrics import is_metric, registered_metrics
+
+        if not is_metric(space):
+            raise ValueError(
+                f"space must be a registered metric {registered_metrics()}, "
+                f"got {space!r}"
+            )
         self.space = space
         self.dim = dim
         self.mesh = mesh or make_mesh()
@@ -174,13 +181,13 @@ class ShardedIndex:
     def init_index(self, max_elements: int, M: int = 16,
                    ef_construction: int = 200, random_seed: int = 100,
                    round_size: int = 256, max_level_cap: int | None = None,
-                   **_ignored) -> None:
+                   storage: str = "f32", **_ignored) -> None:
         s = self.n_shards
         per_shard = -(-max_elements // s)  # ceil
         self.config = HnswConfig(
             dim=self.dim, metric=self.space, M=M,
             ef_construction=ef_construction, seed=random_seed,
-            max_level_cap=max_level_cap,
+            max_level_cap=max_level_cap, storage=storage,
         )
         self.max_elements = max_elements
         self.round_size = round_size
@@ -222,7 +229,9 @@ class ShardedIndex:
         cfg = self.config
         s = self.n_shards
         data = np.atleast_2d(np.asarray(data, dtype=np.float32))
-        if cfg.metric == "cosine":
+        from ocaml_hnsw_tpu.ops.metrics import get_metric
+
+        if get_metric(cfg.metric).normalize_add:
             nrm = np.linalg.norm(data, axis=1, keepdims=True)
             data = data / np.where(nrm == 0, 1.0, nrm)
         n_new = data.shape[0]
@@ -332,6 +341,7 @@ class ShardedIndex:
                 round_top=round_top, need_descent=need_descent,
                 extend=cfg.extend_candidates,
                 heuristic=cfg.select == "heuristic",
+                storage=cfg.storage,
             )
             for i in range(s):
                 if count[i]:

@@ -60,16 +60,15 @@ def test_build_rate_measured():
     print(f"native single-thread build: {vps:.0f} vps (128-d, efC=200)")
 
 
-def test_equal_settings_recall_parity_20k():
+def _recall_parity(n: int, dim: int, round_size: int, efs) -> None:
     """BASELINE north-star: recall@10 at equal (M, efC, ef) must match the
-    reference.  CI-scale version of BASELINE.md's 200k parity table (where
-    the TPU engine beats native at every ef); here 20k points, two efs."""
+    reference (BASELINE.md's 200k parity table has the TPU engine beating
+    native at every ef)."""
     import jax.numpy as jnp
     from ocaml_hnsw_tpu.config import HnswConfig
     from ocaml_hnsw_tpu.models.build import BuildState
     from ocaml_hnsw_tpu.models.search import knn_search, build_seed_index
 
-    n, dim = 20_000, 32
     data = clustered(n, dim, n_clusters=64, seed=3)
     q = queries_like(data, 200, seed=4)
     gt, _ = bruteforce_knn(data, q, 10, "l2")
@@ -77,14 +76,26 @@ def test_equal_settings_recall_parity_20k():
     nat = native.NativeHNSW(dim=dim, M=12, ef_construction=100)
     nat.add_items(data)
     st = BuildState(HnswConfig(dim=dim, M=12, ef_construction=100), n,
-                    round_size=1024)
+                    round_size=round_size)
     st.add(data)
     seeds = build_seed_index(st.graph, "l2")
     qj = jnp.asarray(np.pad(q, ((0, 56), (0, 0))))  # 200 -> 256
-    for ef in (32, 64):
+    for ef in efs:
         n_ids, _ = nat.knn_query(q, k=10, ef=ef)
         t_ids, _ = knn_search(st.graph, qj, k=10, ef=ef, metric="l2",
                               seeds=seeds)
         r_nat = recall(n_ids, gt)
         r_tpu = recall(np.asarray(t_ids)[:200], gt)
         assert r_tpu >= r_nat - 0.02, (ef, r_tpu, r_nat)
+
+
+def test_equal_settings_recall_parity_5k():
+    """Default-lane parity check (one device-build, one ef)."""
+    _recall_parity(5_000, 32, round_size=1024, efs=(48,))
+
+
+@pytest.mark.slow
+def test_equal_settings_recall_parity_20k():
+    """Slow-lane version at 20k points, two efs (1,394 s on this machine —
+    the single-core CPU device build dominates)."""
+    _recall_parity(20_000, 32, round_size=1024, efs=(32, 64))

@@ -1,0 +1,193 @@
+"""Packed inline-int8 engine (models/packed.py) — correctness vs the classic
+engine, payload encoding round-trip, tombstones, metrics, and API wiring.
+
+The packed engine is approximate in the beam (global-scale int8 + bf16
+products) but exact in its returned distances (final f32 rerank), so tests
+assert recall-level parity plus exact distance values, not bit-equal beams.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from ocaml_hnsw_tpu.bench.datasets import clustered, queries_like
+from ocaml_hnsw_tpu.config import HnswConfig
+from ocaml_hnsw_tpu.models.build import BuildState
+from ocaml_hnsw_tpu.models.search import knn_search, build_seed_index
+from ocaml_hnsw_tpu.models.packed import (
+    pack_graph,
+    knn_search_packed,
+    pack_d_pad,
+)
+from ocaml_hnsw_tpu.oracle.bruteforce import bruteforce_knn, recall
+from ocaml_hnsw_tpu.api import Index
+
+
+@pytest.fixture(scope="module")
+def built():
+    n, dim = 4000, 24
+    data = clustered(n, dim, n_clusters=32, seed=1)
+    st = BuildState(HnswConfig(dim=dim, M=12, ef_construction=80), n,
+                    round_size=512)
+    st.add(data)
+    return data, st
+
+
+class TestPackGraph:
+    def test_meta_ids_match_adjacency(self, built):
+        _, st = built
+        p = pack_graph(st.graph, "l2")
+        deg = st.graph.adj0.shape[1]
+        np.testing.assert_array_equal(
+            np.asarray(p.meta[:, :deg]), np.asarray(st.graph.adj0)
+        )
+
+    def test_payload_roundtrip_within_half_scale(self, built):
+        """Dequantized payload must reproduce each neighbor's vector to
+        within s/2 per component (the rounding bound)."""
+        _, st = built
+        p = pack_graph(st.graph, "l2")
+        g = st.graph
+        deg, d = g.adj0.shape[1], g.dim
+        s = float(p.scale)
+        pay = np.asarray(p.pay).reshape(g.n_cap, deg, p.d_pad)[:, :, :d]
+        vecs = np.asarray(g.vectors, dtype=np.float32)
+        adj = np.asarray(g.adj0)
+        rng = np.random.default_rng(0)
+        for i in rng.integers(0, int(g.n), size=20):
+            for j in range(deg):
+                nb = adj[i, j]
+                if nb < 0:
+                    continue
+                err = np.abs(pay[i, j] * s - vecs[nb])
+                assert err.max() <= s / 2 + 1e-6
+
+    def test_norms_exact_int32(self, built):
+        _, st = built
+        p = pack_graph(st.graph, "l2")
+        deg = st.graph.adj0.shape[1]
+        pay = np.asarray(p.pay).astype(np.int32).reshape(
+            st.graph.n_cap, deg, p.d_pad
+        )
+        nrm = np.asarray(p.meta[:, deg:])
+        np.testing.assert_array_equal((pay * pay).sum(-1), nrm)
+
+    def test_d_pad_lane_aligned(self):
+        assert pack_d_pad(24) == 128
+        assert pack_d_pad(128) == 128
+        assert pack_d_pad(129) == 256
+
+
+class TestPackedSearch:
+    def test_recall_matches_classic(self, built):
+        data, st = built
+        q = queries_like(data, 64, seed=2)
+        gt, _ = bruteforce_knn(data, q, 10, "l2")
+        seeds = build_seed_index(st.graph, "l2")
+        ids_c, _ = knn_search(st.graph, jnp.asarray(q), k=10, ef=64,
+                              metric="l2", seeds=seeds)
+        p = pack_graph(st.graph, "l2")
+        ids_p, _ = knn_search_packed(st.graph, p, jnp.asarray(q), k=10,
+                                     ef=64, metric="l2", seeds=seeds)
+        r_c = recall(np.asarray(ids_c), gt)
+        r_p = recall(np.asarray(ids_p), gt)
+        assert r_p >= r_c - 0.02, (r_p, r_c)
+
+    def test_returned_distances_are_exact_f32(self, built):
+        """The final rerank recomputes distances in f32 — returned values
+        must equal the true metric on the returned ids."""
+        data, st = built
+        q = queries_like(data, 16, seed=3)
+        p = pack_graph(st.graph, "l2")
+        seeds = build_seed_index(st.graph, "l2")
+        ids, d = knn_search_packed(st.graph, p, jnp.asarray(q), k=5, ef=48,
+                                   metric="l2", seeds=seeds)
+        ids, d = np.asarray(ids), np.asarray(d)
+        for qi in range(q.shape[0]):
+            for j in range(5):
+                if ids[qi, j] < 0:
+                    continue
+                true = float(((data[ids[qi, j]] - q[qi]) ** 2).sum())
+                assert abs(true - d[qi, j]) <= 1e-3 * max(1.0, true)
+
+    def test_tombstones_filtered(self, built):
+        data, st = built
+        q = data[:8]
+        p = pack_graph(st.graph, "l2")
+        ids0, _ = knn_search_packed(st.graph, p, jnp.asarray(q), k=1, ef=32,
+                                    metric="l2")
+        hit = np.asarray(ids0)[:, 0]
+        g2 = st.graph._replace(
+            deleted=st.graph.deleted.at[jnp.asarray(hit)].set(True)
+        )
+        ids1, _ = knn_search_packed(g2, p, jnp.asarray(q), k=1, ef=32,
+                                    metric="l2")
+        assert not np.isin(np.asarray(ids1)[:, 0], hit).any()
+
+    def test_cosine_metric(self):
+        n, dim = 2000, 16
+        data = clustered(n, dim, n_clusters=16, seed=5)
+        st = BuildState(HnswConfig(dim=dim, M=8, ef_construction=60,
+                                   metric="cosine"), n, round_size=256)
+        st.add(data)
+        q = queries_like(data, 32, seed=6)
+        gt, _ = bruteforce_knn(data, q, 10, "cosine")
+        p = pack_graph(st.graph, "cosine")
+        ids, _ = knn_search_packed(st.graph, p, jnp.asarray(q), k=10, ef=48,
+                                   metric="cosine")
+        assert recall(np.asarray(ids), gt) >= 0.9
+
+    def test_unsupported_metric_raises(self, built):
+        from ocaml_hnsw_tpu.ops.metrics import register_metric, _REGISTRY
+
+        name = "test-packed-l1"
+        if name not in _REGISTRY:
+            register_metric(
+                name, lambda rows, q: abs(rows - q[..., None, :]).sum(-1)
+            )
+        _, st = built
+        with pytest.raises(ValueError, match="matmul_score"):
+            pack_graph(st.graph, name)
+
+
+class TestApiWiring:
+    def test_auto_uses_packed_above_threshold(self, monkeypatch):
+        n, dim = 3000, 16
+        data = clustered(n, dim, n_clusters=24, seed=7)
+        q = queries_like(data, 32, seed=8)
+        gt, _ = bruteforce_knn(data, q, 10, "l2")
+        idx = Index(space="l2", dim=dim)
+        idx.init_index(max_elements=n, M=8, ef_construction=60,
+                       round_size=512)
+        idx.add_items(data)
+        monkeypatch.setattr(Index, "PACKED_THRESHOLD", 1000)
+        labels, dists = idx.knn_query(q, k=10, ef=48)
+        assert idx._packed is not None  # auto path engaged the packed engine
+        assert recall(labels, gt) >= 0.9
+        # forcing classic gives equivalent recall
+        l2_, _ = idx.knn_query(q, k=10, ef=48, engine="classic")
+        assert recall(l2_, gt) >= 0.9
+
+    def test_forced_packed_raises_when_small(self):
+        idx = Index(space="l2", dim=8)
+        idx.init_index(max_elements=300, M=8, ef_construction=40,
+                       round_size=64)
+        idx.add_items(clustered(300, 8, n_clusters=4, seed=9))
+        with pytest.raises(RuntimeError, match="packed engine unavailable"):
+            idx.knn_query(np.zeros((1, 8), np.float32), k=1, engine="packed")
+
+    def test_mutation_invalidates_packed_cache(self, monkeypatch):
+        monkeypatch.setattr(Index, "PACKED_THRESHOLD", 500)
+        n, dim = 600, 8
+        data = clustered(n, dim, n_clusters=6, seed=10)
+        idx = Index(space="l2", dim=dim)
+        idx.init_index(max_elements=2 * n, M=8, ef_construction=40,
+                       round_size=128)
+        idx.add_items(data[:n // 2])
+        idx.add_items(data[n // 2:])
+        idx.knn_query(data[:4], k=1, ef=16)
+        assert idx._packed is not None
+        idx.add_items(clustered(32, dim, n_clusters=4, seed=11))
+        assert idx._packed is None  # adjacency changed -> repack next query
+        labels, _ = idx.knn_query(data[:50], k=1, ef=32)
+        assert (labels[:, 0] == np.arange(50)).mean() >= 0.9

@@ -140,15 +140,12 @@ class TestVisitedModes:
         np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
 
     def test_hashed_bitset_recall_close_to_exact(self):
-        from ocaml_hnsw_tpu.models.search import pick_visited_bits
-
         data, o, g = build_pair(n=2000, dim=16)
         q = queries_like(data, 200, seed=11)
         gt, _ = bruteforce_knn(data, q, 10, "l2")
-        bits = pick_visited_bits(g.n_cap, ef=48, deg=g.adj0.shape[1])
-        # small index ⇒ exact is chosen; force a hashed bitmap as well
+        # small index ⇒ exact would normally win; force a hashed bitmap
         ids_h, _ = knn_search(g, jnp.asarray(q), k=10, ef=48, metric="l2",
-                              visited_bits=bits if bits else 16)
+                              visited_bits=16)
         ids_e, _ = knn_search(g, jnp.asarray(q), k=10, ef=48, metric="l2",
                               visited_bits=None)
         r_h = recall(np.asarray(ids_h), gt)

@@ -74,8 +74,12 @@ class TestShardedIncremental:
 class TestMeshSizes:
     # minimal static shapes: each mesh size compiles its own insert_round and
     # these compiles dominated the whole suite (885 s for S=2 at the previous
-    # sizes on this one-core machine)
-    @pytest.mark.parametrize("n_dev", [1, 2])
+    # sizes on this one-core machine).  S=2 is slow-lane only: the 8-device
+    # fixture and dryrun_multichip cover multi-shard; S=1 covers the
+    # single-device degenerate case cheaply.
+    @pytest.mark.parametrize(
+        "n_dev", [1, pytest.param(2, marks=pytest.mark.slow)]
+    )
     def test_small_meshes(self, n_dev):
         data = clustered(120, 8, n_clusters=6, seed=5)
         idx = ShardedIndex(space="l2", dim=8, mesh=make_mesh(n_dev))
@@ -133,3 +137,27 @@ class TestShardedLifecycle:
         idx4 = ShardedIndex(space="l2", dim=16, mesh=make_mesh(4))
         with pytest.raises(ValueError, match="shard"):
             idx4.load_index(p)
+
+
+class TestShardedStorage:
+    """VERDICT r2 task 9: quantized storage through the sharded engine."""
+
+    def test_int8_build_query_saveload(self, tmp_path):
+        data = clustered(400, 16, n_clusters=16, seed=21)
+        idx = ShardedIndex(space="l2", dim=16, mesh=make_mesh(8))
+        idx.init_index(max_elements=500, M=8, ef_construction=40,
+                       round_size=64, max_level_cap=2, storage="int8")
+        assert idx.config.storage == "int8"
+        idx.add_items(data)
+        q = queries_like(data, 60, seed=22)
+        gt, _ = bruteforce_knn(data, q, 10, "l2")
+        labels, _ = idx.knn_query(q, k=10, ef=48)
+        assert recall(labels, gt) >= 0.9  # int8 quantization headroom
+
+        p = str(tmp_path / "int8.bin")
+        idx.save_index(p)
+        idx2 = ShardedIndex(space="l2", dim=16, mesh=make_mesh(8))
+        idx2.load_index(p)
+        assert idx2.config.storage == "int8"
+        l2_, _ = idx2.knn_query(q, k=10, ef=48)
+        np.testing.assert_array_equal(labels, l2_)
