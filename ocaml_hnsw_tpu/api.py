@@ -162,27 +162,32 @@ class Index:
             widths = [(0, grow)] + [(0, 0)] * (a.ndim - 1)
             return jnp.pad(a, widths, constant_values=fill)
 
-        l_grow = g.l_max - old.l_max
-        adj_upper = jnp.pad(
-            old.adj_upper, ((0, 0), (0, grow), (0, 0)), constant_values=-1
-        )
-        if l_grow > 0:
-            extra = jnp.full((l_grow, n_cap_new, old.adj_upper.shape[2]), -1,
-                             jnp.int32)
-            adj_upper = jnp.concatenate([adj_upper, extra], axis=0)
+        # arena: pad rows at the end (the reserved sink row moves to the new
+        # last row; the old sink row is provably all -1, so it simply becomes
+        # an allocatable empty row)
+        t_grow = g.t_cap - old.t_cap
+        if t_grow < 0:
+            raise ValueError("resize would shrink the upper arena")
+        adj_up = jnp.pad(old.adj_up, ((0, t_grow), (0, 0)),
+                         constant_values=-1)
         new_state.graph = GraphTensors(
             vectors=pad2(old.vectors, 0),
             scales=pad2(old.scales, 1.0),
             norms=pad2(old.norms, 0.0),
             adj0=pad2(old.adj0, -1),
-            adj_upper=adj_upper,
+            adj_up=adj_up,
+            up_base=pad2(old.up_base, -1),
+            up_n=old.up_n,
             levels=pad2(old.levels, -1),
             entry=old.entry,
             max_level=old.max_level,
             n=old.n,
             deleted=pad2(old.deleted, False),
+            l_max_static=max(g.l_max, old.l_max),
         )
         new_state.rng = st.rng  # continue the level-sampling stream
+        new_state.l_max = new_state.graph.l_max
+        new_state.adopt_graph(new_state.graph)
         self._state = new_state
         self._seeds = None
         self._packed = None
@@ -346,7 +351,8 @@ class Index:
         # round padding must stay inside the saved capacity headroom
         round_size = max(1, min(1024, graph.n_cap - saved_max - 1))
         st = BuildState(config, saved_max, round_size=round_size)
-        st.graph = graph
+        st.adopt_graph(graph)
+        st.l_max = graph.l_max
         if rng_state is not None:
             st.rng.set_state(rng_state)
         self._state = st

@@ -33,7 +33,9 @@ import jax
 import jax.numpy as jnp
 
 from ocaml_hnsw_tpu.config import HnswConfig
-from ocaml_hnsw_tpu.models.graph import GraphTensors, empty_graph
+from ocaml_hnsw_tpu.models.graph import (
+    GraphTensors, UpperView, adj_take, empty_graph,
+)
 from ocaml_hnsw_tpu.models.search import beam_search_layer, _greedy_level
 from ocaml_hnsw_tpu.ops.distance import (
     dists_to_ids,
@@ -178,7 +180,7 @@ def extend_candidates(vectors, scales, norms, adj_l, q, qn, w_ids, w_d,
     M ≪ ef_l nearest-diverse candidates, so the truncation is outside the
     admitted region in practice (recall parity is covered by tests)."""
     r = w_ids.shape[0]
-    nb = adj_l[jnp.maximum(w_ids, 0)]  # [R, ef_l, deg]
+    nb = adj_take(adj_l, jnp.maximum(w_ids, 0))  # [R, ef_l, deg]
     nb = jnp.where((w_ids >= 0)[:, :, None], nb, -1).reshape(r, -1)
     all_ids = jnp.concatenate([w_ids, nb], axis=1)
     d_all = dists_to_ids(vectors, scales, norms, q, qn, all_ids, metric)
@@ -194,7 +196,7 @@ def extend_candidates(vectors, scales, norms, adj_l, q, qn, w_ids, w_d,
 
 # ------------------------------------------------------------- edge updates
 def apply_edges(
-    adj,  # i32[N_cap, m_cap] one layer's adjacency
+    adj,  # i32[N_cap, m_cap] dense layer-0 table, OR an UpperView
     vectors,
     scales,
     norms,
@@ -206,7 +208,6 @@ def apply_edges(
     rev_cap: int,
     metric: str,
     keep_pruned: bool,
-    pad_row: int,  # reserved never-occupied row used as scatter sink
     heuristic: bool = True,
 ):
     """Forward + reverse edge application with deterministic conflict handling.
@@ -217,16 +218,31 @@ def apply_edges(
     semantics), heuristic re-prune (Alg 1's shrink) when over-full.  The
     result is a pure function of the round's inputs — intra-round point order
     cannot matter.
+
+    The layer's storage is either the dense layer-0 table (row == node id) or
+    an UpperView over the compact arena (row == up_base[id] + level-1); all
+    scatter bookkeeping (slot counters, rev buffers) is indexed by *row*, and
+    the tables' last row is the reserved all--1 scatter sink.  Returns the
+    updated table (the caller re-wraps views).
     """
     r, m = sel_ids.shape
-    n_cap = adj.shape[0]
+    is_view = isinstance(adj, UpperView)
+    table = adj.table if is_view else adj
+    n_rows = table.shape[0]
+    sink = n_rows - 1
+
+    def rows_of(ids, valid):
+        safe = jnp.maximum(ids, 0)
+        rows = adj.rows_of(safe) if is_view else safe
+        return jnp.where(valid, rows, sink)
 
     # ---- forward rows (unique p_ids ⇒ conflict-free scatter)
+    p_rows = rows_of(p_ids, mask)
     fwd = jnp.pad(sel_ids, ((0, 0), (0, m_cap - m)), constant_values=-1)
-    rows = jnp.where(mask[:, None], fwd, adj[p_ids])
-    adj = adj.at[p_ids].set(rows)
+    rows = jnp.where(mask[:, None], fwd, table[p_rows])
+    table = table.at[p_rows].set(rows)
 
-    # ---- reverse pairs (e ← p), grouped by target.
+    # ---- reverse pairs (e ← p), grouped by target row.
     # Slot assignment runs column-by-column with a running per-target counter
     # instead of a global (target, distance) lexsort: 1-D sorts/scans on TPU
     # are serial (a 65k-element lexsort measured 1.8s — more than the whole
@@ -235,40 +251,50 @@ def apply_edges(
     # the rev_cap drop still sheds the farthest edges; the result is a pure
     # function of (sel_ids, p_ids) — intra-round order still can't matter.
     pair_valid = mask[:, None] & (sel_ids >= 0)
-    e_cols = jnp.where(pair_valid, sel_ids, pad_row)  # [R, M]
-    cnt = jnp.zeros((n_cap,), jnp.int32)
-    rev = jnp.full((n_cap, rev_cap), -1, jnp.int32)
-    for j in range(m):
-        e_col = e_cols[:, j]  # [R]
-        valid = e_col != pad_row
-        base = cnt[e_col]
+    e_rows = rows_of(sel_ids, pair_valid)  # [R, M], sink on invalid
+    e_ids = jnp.where(pair_valid, sel_ids, -1)
+    tri = jnp.arange(r)[None, :] < jnp.arange(r)[:, None]
+
+    def rev_col(j, carry):  # one traced body (columns were Python-unrolled)
+        cnt, rev = carry
+        e_row = jax.lax.dynamic_slice_in_dim(e_rows, j, 1, axis=1)[:, 0]
+        live = e_row != sink
+        base = cnt[e_row]
         # rank among duplicates of the same target within this column
-        same = (e_col[None, :] == e_col[:, None]) & valid[:, None]
-        dup_rank = jnp.sum(same & (jnp.arange(r)[None, :] <
-                                   jnp.arange(r)[:, None]), axis=1)
+        same = (e_row[None, :] == e_row[:, None]) & live[:, None]
+        dup_rank = jnp.sum(same & tri, axis=1)
         pos = base + dup_rank
-        keep = valid & (pos < rev_cap)
+        keep = live & (pos < rev_cap)
         rev = rev.at[
-            jnp.where(keep, e_col, pad_row), jnp.where(keep, pos, 0)
+            jnp.where(keep, e_row, sink), jnp.where(keep, pos, 0)
         ].max(jnp.where(keep, p_ids, -1))
-        cnt = cnt.at[e_col].add(valid.astype(jnp.int32))
+        cnt = cnt.at[e_row].add(live.astype(jnp.int32))
+        return cnt, rev
+
+    cnt, rev = jax.lax.fori_loop(
+        0, m,
+        rev_col,
+        (jnp.zeros((n_rows,), jnp.int32),
+         jnp.full((n_rows, rev_cap), -1, jnp.int32)),
+    )
 
     # ---- affected target rows: the flattened pair targets themselves.
     # Duplicates (same target hit by several new points) all recompute the
     # identical merged row and scatter identical values — deterministic — and
     # the width equals the nonzero() padding this replaces, so skipping the
     # O(n_cap) nonzero scan (measured 18 ms at 1M) is a strict win.
-    aff = e_cols.reshape(-1)  # [R*M] with dups; pad_row on invalid pairs
+    aff = e_rows.reshape(-1)  # [R*M] table rows, with dups; sink on invalid
+    aff_ids = jnp.where(e_ids >= 0, e_ids, 0).reshape(-1)  # node ids (safe)
 
-    old = adj[aff]  # [A, m_cap]
+    old = table[aff]  # [A, m_cap]
     new_ps = rev[aff]  # [A, rev_cap]
     combined = jnp.concatenate([old, new_ps], axis=1)  # [A, K2]
     cvalid = combined >= 0
     overflow = jnp.sum(cvalid, axis=1) > m_cap
 
     # append path: old entries first, then the new ones, packed
-    evec = gather_dequant(vectors, scales, aff[:, None])[:, 0, :]
-    enorm = norms[aff]
+    evec = gather_dequant(vectors, scales, aff_ids[:, None])[:, 0, :]
+    enorm = norms[aff_ids]
     dcomb = dists_to_ids(
         vectors, scales, norms, evec, enorm,
         jnp.where(cvalid, combined, -1), metric
@@ -307,8 +333,8 @@ def apply_edges(
     heur_ids, _ = compact_by_mask(sc_ids, sc_d, sel2, m_cap)
 
     new_rows = jnp.where(overflow[:, None], heur_ids, app_ids)
-    # pad_row fill entries all compute the identical all--1 row → benign dups
-    return adj.at[aff].set(new_rows)
+    # sink-row fill entries all compute the identical all--1 row → benign dups
+    return table.at[aff].set(new_rows)
 
 
 # ------------------------------------------------------------- insert round
@@ -316,7 +342,7 @@ def apply_edges(
     jax.jit,
     static_argnames=(
         "efc", "efc_upper", "m", "m_max0", "rev_cap", "metric",
-        "keep_pruned", "storage", "round_top", "seed_e", "need_descent",
+        "keep_pruned", "storage", "seed_e",
         "build_mi", "build_ck", "extend", "heuristic", "select_scan",
     ),
 )
@@ -328,6 +354,12 @@ def insert_round(
     count,  # i32 scalar: how many of the R rows are real
     seed_bank=None,  # i32[U_cap] ids of level>=1 nodes (pre-round snapshot)
     seed_n=None,  # i32 scalar: live entries in seed_bank
+    seed_vecs=None,  # bf16[U_cap, D] cached bank vectors (avoids re-gathering
+    #                  the whole bank every round: ~10 ms at 1M)
+    seed_norms=None,  # f32[U_cap] cached ||x||^2 of the bank rows
+    pack_pay=None,  # int8[N_cap·C, W] inline-neighbor payload (packed build)
+    pack_meta=None,  # i32[N_cap, 2·deg] packed adjacency ids + int32 norms
+    pack_scale=None,  # f32[] global quantization scale of the payload
     *,
     efc: int,
     m: int,
@@ -337,9 +369,7 @@ def insert_round(
     keep_pruned: bool,
     storage: str = "f32",
     efc_upper: int | None = None,
-    round_top: int | None = None,
     seed_e: int = 16,
-    need_descent: bool = True,
     build_mi: int | None = None,
     build_ck: int | None = None,
     extend: bool = False,
@@ -356,23 +386,29 @@ def insert_round(
     (262 ms vs 844 ms per 2048-round) with 0.985 top-16 W-set overlap.  The
     bank is updated with the round's new upper nodes and returned.
 
-    round_top: static max connect level of this round's points (host knows the
-    sampled levels); layers above it skip their beam/select/apply stages
-    entirely — most rounds top out at level 2-3 of a 5-layer stack.
+    The whole round is ONE compiled program for all round shapes: greedy
+    descent and the upper-level connect stages are fori_loops with the layer
+    as a *dynamic* scalar (the compact arena makes per-level adjacency a
+    base-offset lookup, models/graph.py UpperView), so there are no
+    per-round-top compile variants — round-2 profiling measured 613 s of XLA
+    compile across the old statically-specialized variants inside one cold
+    1M build, on a single-core host.
 
-    Returns (graph, seed_bank, seed_n)."""
+    pack_pay/pack_meta/pack_scale: when given, the level-0 beam runs on the
+    inline-int8 payload (models/packed.py) and the payload rows whose
+    adjacency changed are refreshed before returning — the packed build
+    path (BuildState auto-enables it on large matmul-metric builds).
+
+    Returns (graph, seed_bank, seed_n, seed_vecs, seed_norms, pack_pay,
+    pack_meta) — the pack tensors are None when packed build is off."""
     r = new_vecs.shape[0]
     n_cap = graph.n_cap
     l_max = graph.l_max
-    pad_row = n_cap - 1
     # Upper layers hold ~N/M^l nodes and only route; a narrow beam there loses
     # nothing (selection still picks m of efc_upper) and the lockstep
     # while_loop converges in ~2·ef/expand iterations instead of 2·efc/expand.
     if efc_upper is None:
         efc_upper = min(efc, max(2 * m, 32))
-    if round_top is None:
-        round_top = l_max
-    round_top = min(round_top, l_max)
     use_seeds = seed_bank is not None
 
     p_ids = (start + jnp.arange(r, dtype=jnp.int32)).astype(jnp.int32)
@@ -397,27 +433,47 @@ def insert_round(
     )
     levels = graph.levels.at[p_ids].set(jnp.where(valid, new_levels, -1))
 
+    # ---- arena allocation: a level-L point owns L consecutive rows starting
+    # at up_base (deterministic exclusive prefix sum over the round; the host
+    # driver pre-checks capacity against the sampled levels exactly)
+    rows_needed = jnp.where(valid, new_levels, 0)
+    base = graph.up_n + jnp.cumsum(rows_needed) - rows_needed
+    up_base = graph.up_base.at[p_ids].set(
+        jnp.where(valid & (new_levels >= 1), base, -1)
+    )
+    up_n = graph.up_n + jnp.sum(rows_needed)
+
     max_level_pre = graph.max_level
     connect_start = jnp.minimum(new_levels, max_level_pre)  # [R]
 
     # ---- MXU seed scan over the pre-round upper-node bank (layer<=1 entries)
+    use_seed_cache = seed_vecs is not None
     if use_seeds:
         u_cap = seed_bank.shape[0]
         safe_bank = jnp.maximum(seed_bank, 0)
-        bank_vecs = gather_dequant(vectors, scales, safe_bank[None, :])[0]
+        if use_seed_cache:
+            # bf16 cache carried across rounds: scan precision only (winners
+            # are exactly re-scored below), maintained by appending the
+            # round's new upper nodes — no 3·N/M-row gather per round
+            bank_f32 = seed_vecs.astype(jnp.float32)
+            bank_b16 = seed_vecs
+            bank_norms = seed_norms
+        else:
+            bank_f32 = gather_dequant(vectors, scales, safe_bank[None, :])[0]
+            bank_b16 = bank_f32.astype(jnp.bfloat16)
+            bank_norms = jnp.sum(bank_f32 * bank_f32, axis=1)
         dot = jax.lax.dot_general(
-            q.astype(jnp.bfloat16), bank_vecs.astype(jnp.bfloat16),
+            q.astype(jnp.bfloat16), bank_b16,
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         )
         mm = get_metric(metric).matmul_score
         if mm is not None:
-            bank_norms = jnp.sum(bank_vecs * bank_vecs, axis=1)
             scores = mm(dot, bank_norms[None, :])
         else:
-            # registry metric without an MXU form: exact pair distances over
-            # the bank (the bank rows are already gathered, so this is VPU
-            # compute only — no extra HBM traffic)
-            scores = get_metric(metric).pair_dist(bank_vecs[None], q)
+            # registry metric without an MXU form: pair distances over the
+            # (cached or gathered) bank rows — VPU compute only; ranking
+            # precision, the winners are exactly re-scored below
+            scores = get_metric(metric).pair_dist(bank_f32[None], q)
         live = jnp.arange(u_cap) < seed_n
         scores = jnp.where(live[None, :], scores, jnp.inf)
         _, ii = jax.lax.approx_min_k(scores, seed_e)
@@ -434,12 +490,13 @@ def insert_round(
     ep_d = jnp.full((r, efc_upper), jnp.inf, jnp.float32)
 
     adj0 = graph.adj0
-    adj_upper = graph.adj_upper
+    arena = graph.adj_up
 
     def first_entries(cur_v, cur_dv, sids_v, sdv, width, at_seed_level):
         """Entry block for a point's FIRST connect layer: the greedy-descent
         position, upgraded to the seed-scan top-E at layers <= 1 (seed-bank
-        nodes are level>=1, so they exist at layers 0 and 1)."""
+        nodes are level>=1, so they exist at layers 0 and 1).  at_seed_level
+        may be a traced bool (the rolled upper loop's `level <= 1`)."""
         n_rows = cur_v.shape[0]
         f_ids = jnp.concatenate(
             [cur_v[:, None], jnp.full((n_rows, width - 1), -1, jnp.int32)],
@@ -448,123 +505,188 @@ def insert_round(
         f_d = jnp.concatenate(
             [cur_dv[:, None], jnp.full((n_rows, width - 1), jnp.inf)], axis=1
         )
-        if use_seeds and at_seed_level:
+        if use_seeds:
+            pick = have_seeds & at_seed_level
             pad_i = jnp.full((n_rows, width - seed_e), -1, jnp.int32)
             pad_dd = jnp.full((n_rows, width - seed_e), jnp.inf)
-            f_ids = jnp.where(have_seeds,
+            f_ids = jnp.where(pick,
                               jnp.concatenate([sids_v, pad_i], axis=1), f_ids)
-            f_d = jnp.where(have_seeds,
+            f_d = jnp.where(pick,
                             jnp.concatenate([sdv, pad_dd], axis=1), f_d)
         return f_ids, f_d
 
-    for level in range(l_max, -1, -1):
-        adj_l = adj0 if level == 0 else adj_upper[level - 1]
-        m_cap = m_max0 if level == 0 else m
+    # ---- greedy descent, ONE fori_loop over the layer stack (the dynamic
+    # `level` in UpperView keeps this a single traced body — the dominant
+    # compile-size lever; four statically-specialized insert_round variants
+    # measured 613 s of XLA compile inside one cold 1M build).  Points whose
+    # entries come from the seed scan (connect_start <= 1 with a live bank)
+    # skip descent entirely — their first_entries never reads `cur`.
+    round_top_dyn = jnp.max(jnp.where(valid, connect_start, 0))
 
-        if level >= 1 and need_descent:
-            # greedy descent through layers above connect_start (skippable
-            # when seeds cover every entry: round_top_actual <= 1 and the
-            # seed bank is non-empty — the caller knows both statically)
-            greedy_on = valid & (level > connect_start) & (level <= max_level_pre)
-            cur, cur_d = _greedy_level(
-                vectors, scales, norms, adj_l, q, qn, cur, cur_d, greedy_on,
-                metric
-            )
+    def desc_body(i, carry):
+        cur, cur_d = carry
+        li = l_max - i  # l_max .. 1
+        need_pt = (connect_start >= 2) | ~have_seeds if use_seeds \
+            else jnp.bool_(True)
+        greedy_on = (valid & (li > connect_start) & (li <= max_level_pre)
+                     & need_pt)
+        view = UpperView(table=arena, up_base=up_base, levels=levels,
+                         level=li)
+        return _greedy_level(vectors, scales, norms, view, q, qn, cur, cur_d,
+                             greedy_on, metric)
 
-        if level > round_top:
-            continue  # no point in this round connects here
+    cur, cur_d = jax.lax.fori_loop(0, l_max, desc_body, (cur, cur_d))
 
-        if level >= 1:
-            # ---- packed upper-level connect: only ~R/M^level points reach
-            # this layer, so gather them into a narrow block (4x-expected
-            # static width; BuildState asserts the actual count fits) and run
-            # beam/select/apply at that width instead of full-R lockstep.
-            r_l = upper_round_width(r, m, level)
-            lvl_mask = valid & (connect_start >= level)
-            (idx,) = jnp.nonzero(lvl_mask, size=r_l, fill_value=r)
-            on = idx < r
-            safe_idx = jnp.minimum(idx, r - 1)
-            q_l = q[safe_idx]
-            qn_l = qn[safe_idx]
-            f_ids, f_d = first_entries(
-                cur[safe_idx], cur_d[safe_idx],
-                s_ids[safe_idx] if use_seeds else None,
-                s_d[safe_idx] if use_seeds else None,
-                efc_upper, level <= 1,
-            )
-            seeding = (connect_start[safe_idx] == level)[:, None]
-            entry_ids = jnp.where(seeding, f_ids, ep_ids[safe_idx])
-            entry_d = jnp.where(seeding, f_d, ep_d[safe_idx])
-            entry_ids = jnp.where(on[:, None], entry_ids, -1)
-            entry_d = jnp.where(on[:, None], entry_d, INF)
+    # ---- upper-level connect, ONE fori_loop from round_top_dyn down to 1,
+    # all levels at one static width (level-1's, the widest: ~4x the binomial
+    # expectation r/M; BuildState asserts the actual counts fit).  Only
+    # ~r/M^level rows are live per level; the rest are masked and their
+    # beams/scatters hit the sink.
+    r_l = upper_round_width(r, m, 1)
 
-            w_ids, w_d, _ = beam_search_layer(
-                vectors, scales, norms, adj_l, q_l, qn_l, entry_ids, entry_d,
-                efc_upper, metric, expand=4, visited_bits=0,
-            )
-            # W becomes the next-lower layer's entry set for these points.
-            # Fill rows scatter into a dedicated dump row (index r) so they
-            # can never collide with a real row's write — a clamped fill
-            # index could otherwise race the genuinely-active last row.
-            scatter_idx = jnp.where(on, safe_idx, r)
-            ep_ids = jnp.pad(ep_ids, ((0, 1), (0, 0)))
-            ep_d = jnp.pad(ep_d, ((0, 1), (0, 0)))
-            ep_ids = ep_ids.at[scatter_idx].set(w_ids)[:r]
-            ep_d = ep_d.at[scatter_idx].set(w_d)[:r]
-
-            if extend:
-                c_ids, c_d = extend_candidates(
-                    vectors, scales, norms, adj_l, q_l, qn_l, w_ids, w_d,
-                    efc_upper, metric,
-                )
-            else:
-                c_ids, c_d = w_ids, w_d
-            sel_ids, sel_d = select_neighbors(
-                vectors, scales, norms, c_ids, c_d, m, metric, keep_pruned,
-                heuristic=heuristic,
-            )
-            p_ids_l = jnp.where(on, p_ids[safe_idx], pad_row)
-            adj_l = apply_edges(
-                adj_l, vectors, scales, norms, p_ids_l, sel_ids, sel_d, on,
-                m_cap, rev_cap, metric, keep_pruned, pad_row,
-                heuristic=heuristic,
-            )
-            adj_upper = adj_upper.at[level - 1].set(adj_l)
-            continue
-
-        # ---- level 0: full-width connect for every valid point
-        seeding = (connect_start == 0)[:, None]
+    def up_body(i, carry):
+        arena, ep_ids, ep_d = carry
+        level = round_top_dyn - i  # round_top_dyn .. 1
+        lvl_mask = valid & (connect_start >= level)
+        (idx,) = jnp.nonzero(lvl_mask, size=r_l, fill_value=r)
+        on = idx < r
+        safe_idx = jnp.minimum(idx, r - 1)
+        q_l = q[safe_idx]
+        qn_l = qn[safe_idx]
         f_ids, f_d = first_entries(
-            cur, cur_d,
-            s_ids if use_seeds else None,
-            s_d if use_seeds else None,
-            efc_upper, True,
+            cur[safe_idx], cur_d[safe_idx],
+            s_ids[safe_idx] if use_seeds else None,
+            s_d[safe_idx] if use_seeds else None,
+            efc_upper, level <= 1,
         )
-        entry_ids = jnp.where(seeding, f_ids, ep_ids)
-        entry_d = jnp.where(seeding, f_d, ep_d)
-        entry_ids = jnp.where(valid[:, None], entry_ids, -1)
-        entry_d = jnp.where(valid[:, None], entry_d, INF)
+        seeding = (connect_start[safe_idx] == level)[:, None]
+        entry_ids = jnp.where(seeding, f_ids, ep_ids[safe_idx])
+        entry_d = jnp.where(seeding, f_d, ep_d[safe_idx])
+        entry_ids = jnp.where(on[:, None], entry_ids, -1)
+        entry_d = jnp.where(on[:, None], entry_d, INF)
 
+        adj_l = UpperView(table=arena, up_base=up_base, levels=levels,
+                          level=level)
         w_ids, w_d, _ = beam_search_layer(
-            vectors, scales, norms, adj_l, q, qn, entry_ids, entry_d,
-            efc, metric, expand=4, visited_bits=0,
-            max_iters=build_mi, compact_k=build_ck,
+            vectors, scales, norms, adj_l, q_l, qn_l, entry_ids, entry_d,
+            efc_upper, metric, expand=4, visited_bits=0,
         )
+        # W becomes the next-lower layer's entry set for these points.
+        # Fill rows scatter into a dedicated dump row (index r) so they
+        # can never collide with a real row's write — a clamped fill
+        # index could otherwise race the genuinely-active last row.
+        scatter_idx = jnp.where(on, safe_idx, r)
+        ep_ids2 = jnp.pad(ep_ids, ((0, 1), (0, 0)))
+        ep_d2 = jnp.pad(ep_d, ((0, 1), (0, 0)))
+        ep_ids2 = ep_ids2.at[scatter_idx].set(w_ids)[:r]
+        ep_d2 = ep_d2.at[scatter_idx].set(w_d)[:r]
+
         if extend:
             c_ids, c_d = extend_candidates(
-                vectors, scales, norms, adj_l, q, qn, w_ids, w_d, efc, metric,
+                vectors, scales, norms, adj_l, q_l, qn_l, w_ids, w_d,
+                efc_upper, metric,
             )
         else:
             c_ids, c_d = w_ids, w_d
         sel_ids, sel_d = select_neighbors(
             vectors, scales, norms, c_ids, c_d, m, metric, keep_pruned,
-            heuristic=heuristic, scan_limit=select_scan,
-        )
-        adj0 = apply_edges(
-            adj_l, vectors, scales, norms, p_ids, sel_ids, sel_d, valid,
-            m_cap, rev_cap, metric, keep_pruned, pad_row,
             heuristic=heuristic,
         )
+        arena = apply_edges(
+            adj_l, vectors, scales, norms, p_ids[safe_idx], sel_ids,
+            sel_d, on, m, rev_cap, metric, keep_pruned,
+            heuristic=heuristic,
+        )
+        return arena, ep_ids2, ep_d2
+
+    arena, ep_ids, ep_d = jax.lax.fori_loop(
+        0, round_top_dyn, up_body, (arena, ep_ids, ep_d)
+    )
+
+    # ---- level 0: full-width connect for every valid point
+    seeding = (connect_start == 0)[:, None]
+    f_ids, f_d = first_entries(
+        cur, cur_d,
+        s_ids if use_seeds else None,
+        s_d if use_seeds else None,
+        efc_upper, jnp.bool_(True),
+    )
+    entry_ids = jnp.where(seeding, f_ids, ep_ids)
+    entry_d = jnp.where(seeding, f_d, ep_d)
+    entry_ids = jnp.where(valid[:, None], entry_ids, -1)
+    entry_d = jnp.where(valid[:, None], entry_d, INF)
+
+    use_packed = pack_pay is not None
+    if use_packed:
+        # packed construction beam: the efc-wide level-0 search runs on the
+        # inline-int8 payload (models/packed.py) — E·C ~2KB chunk rows per
+        # expansion instead of E·deg scattered vector rows.  The W set is
+        # then exactly re-scored and re-sorted so selection (Alg 4) and
+        # apply_edges see true-f32 distances: quantization only perturbs
+        # *which* candidates the beam visited, not how they are pruned.
+        from ocaml_hnsw_tpu.models.packed import (
+            PackedGraph, beam_search_layer_packed, quantize_queries,
+        )
+        from ocaml_hnsw_tpu.ops.sortmerge import bitonic_sort, next_pow2
+
+        pk = PackedGraph(pay=pack_pay, meta=pack_meta, scale=pack_scale)
+        q8 = quantize_queries(q, pack_scale)
+        if pk.d_pad > q8.shape[1]:
+            q8 = jnp.pad(q8, ((0, 0), (0, pk.d_pad - q8.shape[1])))
+        mi_eff = build_mi if build_mi is not None else 2 * efc // 4
+        w_ids, _, _ = beam_search_layer_packed(
+            pk, q8, qn, entry_ids, entry_d, efc,
+            needs_norms=get_metric(metric).needs_norms,
+            max_iters=mi_eff, expand=4,
+        )
+        w_d = dists_to_ids(vectors, scales, norms, q, qn, w_ids, metric)
+        p2 = next_pow2(efc)
+        if p2 > efc:
+            w_d = jnp.pad(w_d, ((0, 0), (0, p2 - efc)),
+                          constant_values=jnp.inf)
+            w_ids = jnp.pad(w_ids, ((0, 0), (0, p2 - efc)),
+                            constant_values=-1)
+        w_d, (w_ids,) = bitonic_sort(w_d, [w_ids], ascending=True)
+        w_d, w_ids = w_d[:, :efc], w_ids[:, :efc]
+    else:
+        w_ids, w_d, _ = beam_search_layer(
+            vectors, scales, norms, adj0, q, qn, entry_ids, entry_d,
+            efc, metric, expand=4, visited_bits=0,
+            max_iters=build_mi, compact_k=build_ck,
+        )
+    if extend:
+        c_ids, c_d = extend_candidates(
+            vectors, scales, norms, adj0, q, qn, w_ids, w_d, efc, metric,
+        )
+    else:
+        c_ids, c_d = w_ids, w_d
+    sel_ids, sel_d = select_neighbors(
+        vectors, scales, norms, c_ids, c_d, m, metric, keep_pruned,
+        heuristic=heuristic, scan_limit=select_scan,
+    )
+    adj0 = apply_edges(
+        adj0, vectors, scales, norms, p_ids, sel_ids, sel_d, valid,
+        m_max0, rev_cap, metric, keep_pruned,
+        heuristic=heuristic,
+    )
+
+    if use_packed:
+        # refresh the payload rows whose adjacency changed this round: the
+        # R forward rows plus every reverse-edge target (R·M with dups; all
+        # dups recompute identical values).  Masked slots refresh the sink
+        # row, which recomputes to all-sentinel.
+        from ocaml_hnsw_tpu.models.packed import refresh_payload_rows
+
+        sink = n_cap - 1
+        fwd_rows = jnp.where(valid, p_ids, sink)
+        rev_rows = jnp.where(
+            valid[:, None] & (sel_ids >= 0), sel_ids, sink
+        ).reshape(-1)
+        pk = refresh_payload_rows(
+            pk, vectors, scales, adj0,
+            jnp.concatenate([fwd_rows, rev_rows]),
+        )
+        pack_pay, pack_meta = pk.pay, pk.meta
 
     # ---- entry point / max level (first-max ⇒ matches sequential ties)
     lv = jnp.where(valid, new_levels, -1)
@@ -579,27 +701,124 @@ def insert_round(
         scales=scales,
         norms=norms,
         adj0=adj0,
-        adj_upper=adj_upper,
+        adj_up=arena,
+        up_base=up_base,
+        up_n=up_n,
         levels=levels,
         entry=entry,
         max_level=max_level,
         n=graph.n + count.astype(jnp.int32),
         deleted=graph.deleted,
+        l_max_static=graph.l_max_static,
     )
     if not use_seeds:
-        return out_graph, None, None
+        return out_graph, None, None, None, None, pack_pay, pack_meta
 
     # ---- append this round's new upper nodes to the seed bank
     is_up = valid & (new_levels >= 1)
     slot = seed_n + jnp.cumsum(is_up.astype(jnp.int32)) - 1
     keep = is_up & (slot < seed_bank.shape[0])
-    seed_bank = seed_bank.at[
-        jnp.where(keep, slot, seed_bank.shape[0] - 1)
-    ].max(jnp.where(keep, p_ids, -1))
+    safe_slot = jnp.where(keep, slot, seed_bank.shape[0] - 1)
+    seed_bank = seed_bank.at[safe_slot].max(jnp.where(keep, p_ids, -1))
     # (capacity has 3x headroom over E[n/M]; silent drop beyond it only
     # degrades entry quality, never correctness)
     seed_n = seed_n + jnp.sum(keep.astype(jnp.int32))
-    return out_graph, seed_bank, seed_n
+    if use_seed_cache:
+        # append the new upper nodes' (dequantized) vectors + norms; dropped
+        # (non-keep) rows scatter out of bounds with mode="drop" so they can
+        # never race a legitimate write to the same slot
+        deq = (qrows.astype(jnp.float32) * qscales[:, None]).astype(
+            jnp.bfloat16)
+        drop_slot = jnp.where(keep, slot, seed_bank.shape[0])
+        seed_vecs = seed_vecs.at[drop_slot].set(deq, mode="drop")
+        seed_norms = seed_norms.at[drop_slot].set(norms_store, mode="drop")
+    return (out_graph, seed_bank, seed_n, seed_vecs, seed_norms,
+            pack_pay, pack_meta)
+
+
+# ------------------------------------------------------- scan round driver
+def _pick_round(data, levels, done, count, rs: int):
+    """Slice one round's rows out of the device-resident payload (clip-gather
+    so no padded copy of `data` is ever made; rows past `count` are masked to
+    level 0 and their content is ignored by insert_round's valid mask)."""
+    idx = jnp.minimum(
+        done + jnp.arange(rs, dtype=jnp.int32), data.shape[0] - 1
+    )
+    vecs = jnp.take(data, idx, axis=0)
+    lv = jnp.where(jnp.arange(rs) < count, jnp.take(levels, idx), 0)
+    return vecs, lv
+
+
+_pick_round_jit = jax.jit(_pick_round, static_argnames=("rs",))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "rs", "efc", "m", "m_max0", "rev_cap", "metric", "keep_pruned",
+        "storage", "build_mi", "build_ck", "extend", "heuristic",
+        "select_scan",
+    ),
+    donate_argnames=("graph", "seed_bank", "seed_n", "seed_vecs",
+                     "seed_norms", "pack_pay", "pack_meta"),
+)
+def insert_rounds_scan(
+    graph: GraphTensors,
+    data,  # f32[n_new, D] device-resident, already metric-prepped
+    levels,  # i32[n_new]
+    dones,  # i32[C] round offsets into data/levels
+    counts,  # i32[C] live rows per round
+    seed_bank, seed_n, seed_vecs, seed_norms,
+    pack_pay=None, pack_meta=None, pack_scale=None,
+    *,
+    rs: int,
+    efc: int, m: int, m_max0: int, rev_cap: int, metric: str,
+    keep_pruned: bool, storage: str, build_mi, build_ck,
+    extend: bool, heuristic: bool, select_scan,
+):
+    """A fixed-length `lax.scan` of insert_round: C rounds in ONE dispatch.
+
+    Through the axon TPU tunnel every host->device transfer is a ~5-20 ms
+    RPC and can stall the in-order stream behind queued work (measured: a
+    scalar put after 20 queued matmuls blocked 385 ms).  The per-round
+    Python loop paid 3 puts per round — ~15-30 s of a 1M build.  Scanning
+    C rounds moves the whole schedule to the device: zero puts, one
+    dispatch, and XLA keeps the carry (the graph) in place."""
+    packed = pack_pay is not None
+
+    def body(carry, x):
+        done, count = x
+        vecs, lv = _pick_round(data, levels, done, count, rs)
+        kw = dict(
+            efc=efc, m=m, m_max0=m_max0, rev_cap=rev_cap, metric=metric,
+            keep_pruned=keep_pruned, storage=storage, build_mi=build_mi,
+            build_ck=build_ck, extend=extend, heuristic=heuristic,
+            select_scan=select_scan,
+        )
+        if packed:
+            graph, bank, bn, bvec, bnrm, pay, meta = carry
+            out = insert_round(
+                graph, vecs, lv, graph.n, count, bank, bn, bvec, bnrm,
+                pay, meta, pack_scale, **kw,
+            )
+            return out, None
+        graph, bank, bn, bvec, bnrm = carry
+        out = insert_round(
+            graph, vecs, lv, graph.n, count, bank, bn, bvec, bnrm, **kw,
+        )
+        return out[:5], None
+
+    if packed:
+        carry0 = (graph, seed_bank, seed_n, seed_vecs, seed_norms,
+                  pack_pay, pack_meta)
+        (graph, seed_bank, seed_n, seed_vecs, seed_norms, pack_pay,
+         pack_meta), _ = jax.lax.scan(body, carry0, (dones, counts))
+    else:
+        carry0 = (graph, seed_bank, seed_n, seed_vecs, seed_norms)
+        (graph, seed_bank, seed_n, seed_vecs, seed_norms), _ = jax.lax.scan(
+            body, carry0, (dones, counts))
+    return (graph, seed_bank, seed_n, seed_vecs, seed_norms,
+            pack_pay, pack_meta)
 
 
 # ---------------------------------------------------------------- bootstrap
@@ -615,6 +834,8 @@ def bootstrap(graph: GraphTensors, vec, level: int, metric: str,
         scales=graph.scales.at[0].set(qscales[0]),
         norms=graph.norms.at[0].set(qnorms[0]),
         levels=graph.levels.at[0].set(level),
+        up_base=graph.up_base.at[0].set(0 if level >= 1 else -1),
+        up_n=jnp.int32(level),
         entry=jnp.int32(0),
         max_level=jnp.int32(level),
         n=jnp.int32(1),
@@ -643,13 +864,22 @@ class BuildState:
         # nearest-M semantics keep the drop deterministic.
         self.rev_cap = 8
         # MXU entry-scan state: ids of level>=1 nodes + live count, and a host
-        # mirror of the graph's max level (for the static round_top)
-        self.seed_bank = jnp.full(
-            (seed_capacity(self.graph.n_cap, config.M),), -1, jnp.int32
-        )
+        # mirror of the graph's max level (observability; the rolled
+        # insert_round derives its own dynamic round top on device)
+        u_cap = seed_capacity(self.graph.n_cap, config.M)
+        self.seed_bank = jnp.full((u_cap,), -1, jnp.int32)
         self.seed_n = jnp.int32(0)
+        # bf16 cache of the bank rows (scan precision; winners re-scored
+        # exactly) — saves the whole-bank gather every round
+        self.seed_vecs = jnp.zeros((u_cap, config.dim), jnp.bfloat16)
+        self.seed_norms = jnp.zeros((u_cap,), jnp.float32)
         self.host_max_level = -1
         self.host_upper_count = 0  # mirror of seed_n (descent-skip decision)
+        self.host_up_n = 0  # mirror of graph.up_n (arena-capacity pre-check)
+        # host mirror of graph.n: the round loop must never fetch a device
+        # scalar — through the axon tunnel each fetch is a round-trip that
+        # serializes the otherwise fully-async dispatch stream
+        self.host_n = 0
         # level-0 build-beam throughput knobs (see insert_round): candidate
         # compaction saved ~13% build time at 1M with zero measured recall
         # cost, so it defaults on for wide candidate blocks; iteration caps
@@ -659,6 +889,51 @@ class BuildState:
         self.build_ck: int | None = (
             (3 * 4 * config.M_max0) // 4 if 4 * config.M_max0 >= 128 else None
         )
+        # packed construction (models/packed.py build-time maintenance):
+        # level-0 beams on the inline-int8 payload.  Auto-enabled on the
+        # first add() when the index is large enough to matter and the
+        # payload fits; None = undecided, False = decided off.
+        self.pack_pay = None
+        self.pack_meta = None
+        self.pack_scale = None
+        self._packed_build: bool | None = None
+
+    def adopt_graph(self, graph: GraphTensors) -> None:
+        """Take over an existing graph (load_index / resize): installs it and
+        rebuilds every host-side mirror — max level, upper-node count, arena
+        watermark — plus the seed bank (ids of all level>=1 nodes), so
+        subsequent add() rounds get MXU-seeded entries and the arena-capacity
+        pre-check starts from the true watermark."""
+        self.graph = graph
+        # drop any packed-build payload: it mirrors the OLD adjacency.  The
+        # next add() re-decides and (re)packs from the adopted graph.
+        self.pack_pay = self.pack_meta = self.pack_scale = None
+        self._packed_build = None
+        lv = np.asarray(graph.levels)
+        n = int(graph.n)
+        self.host_n = n
+        self.host_max_level = int(lv[:n].max()) if n else -1
+        upper = np.nonzero(lv[:n] >= 1)[0].astype(np.int32)
+        self.host_upper_count = int(upper.size)
+        self.host_up_n = int(graph.up_n)
+        cap = self.seed_bank.shape[0]
+        bank = np.full((cap,), -1, np.int32)
+        keep = min(upper.size, cap)
+        bank[:keep] = upper[:keep]
+        self.seed_bank = jnp.asarray(bank)
+        self.seed_n = jnp.int32(keep)
+        # rebuild the bf16 scan cache from the stored vectors (one gather)
+        from ocaml_hnsw_tpu.ops.distance import gather_dequant
+        from ocaml_hnsw_tpu.ops.metrics import get_metric
+
+        safe = jnp.maximum(self.seed_bank, 0)
+        vecs = gather_dequant(graph.vectors, graph.scales, safe[None, :])[0]
+        live = (jnp.arange(cap) < keep)[:, None]
+        self.seed_vecs = jnp.where(live, vecs, 0.0).astype(jnp.bfloat16)
+        nrm = jnp.sum(vecs * vecs, axis=1) \
+            if get_metric(self.config.metric).needs_norms \
+            else jnp.zeros((cap,), jnp.float32)
+        self.seed_norms = jnp.where(live[:, 0], nrm, 0.0)
 
     def prep(self, data):
         """Normalize at add time (cosine-style metrics) on whichever side the
@@ -677,100 +952,185 @@ class BuildState:
             data = data / np.where(nrm == 0, 1.0, nrm)
         return data
 
-    def add(self, data) -> None:
-        """Insert `data` (host numpy OR a device array — the latter avoids the
-        slow host→device path entirely) via padded fixed-shape rounds."""
+    #: rounds per lax.scan dispatch — ONE extra compiled program (the scan
+    #: body is insert_round) reused by every add() call; the remainder
+    #: (< SCAN_CHUNK rounds) runs through the per-round path
+    SCAN_CHUNK = 64
+    #: packed construction auto-enables at this index capacity (below it
+    #: the classic beam is cheap and tests keep oracle-parity trajectories)
+    PACKED_BUILD_THRESHOLD = 100_000
+    #: ... and only while the payload fits this many bytes of HBM
+    PACKED_BUILD_BUDGET_BYTES = 6 << 30
+
+    def _maybe_init_packed(self, data) -> None:
+        """Decide once, on the first add(): build the payload tensors when
+        the metric has an MXU form and the payload fits the budget."""
+        from ocaml_hnsw_tpu.ops.metrics import get_metric
+        from ocaml_hnsw_tpu.models.packed import (
+            empty_packed, pack_d_pad, pack_graph,
+        )
+
+        if self._packed_build is not None:
+            if self.pack_scale is not None:
+                # a later batch can exceed the payload's quantization range:
+                # grow the scale and repack (rare; one pass over adjacency)
+                mx = float(jnp.max(jnp.abs(data)))
+                if mx > float(self.pack_scale) * 127.0:
+                    pk = pack_graph(self.graph, self.config.metric,
+                                    scale=mx / 127.0)
+                    self.pack_pay, self.pack_meta = pk.pay, pk.meta
+                    self.pack_scale = pk.scale
+            return
         cfg = self.config
-        if int(self.graph.n) + data.shape[0] > self.max_elements:
+        g = self.graph
+        deg = g.adj0.shape[1]
+        fits = (g.n_cap * deg * pack_d_pad(cfg.dim)
+                <= self.PACKED_BUILD_BUDGET_BYTES)
+        on = (g.n_cap >= self.PACKED_BUILD_THRESHOLD and fits
+              and get_metric(cfg.metric).matmul_score is not None)
+        self._packed_build = on
+        if not on:
+            return
+        if self.host_n == 0:
+            scale = jnp.maximum(jnp.max(jnp.abs(data)) / 127.0, 1e-30)
+            pk = empty_packed(g.n_cap, deg, cfg.dim, scale)
+        else:  # adopted/loaded graph: pack what exists
+            pk = pack_graph(g, cfg.metric)
+            mx = float(jnp.max(jnp.abs(data))) / 127.0
+            if mx > float(pk.scale):  # range must cover this batch too
+                pk = pack_graph(g, cfg.metric, scale=mx)
+        self.pack_pay, self.pack_meta = pk.pay, pk.meta
+        self.pack_scale = pk.scale
+
+    def packed_graph(self):
+        """The live build-maintained payload as a PackedGraph (or None) —
+        exactly what pack_graph(graph) would produce, for free."""
+        if self.pack_pay is None:
+            return None
+        from ocaml_hnsw_tpu.models.packed import PackedGraph
+
+        return PackedGraph(pay=self.pack_pay, meta=self.pack_meta,
+                           scale=self.pack_scale)
+
+    def _round_kwargs(self) -> dict:
+        cfg = self.config
+        return dict(
+            efc=cfg.ef_construction,
+            m=cfg.M,
+            m_max0=cfg.M_max0,
+            rev_cap=self.rev_cap,
+            metric=cfg.metric,
+            keep_pruned=cfg.keep_pruned_connections,
+            storage=cfg.storage,
+            build_mi=self.build_mi,
+            build_ck=self.build_ck,
+            extend=cfg.extend_candidates,
+            heuristic=cfg.select == "heuristic",
+            select_scan=self.select_scan,
+        )
+
+    def add(self, data) -> None:
+        """Insert `data` (host numpy OR a device array) via padded fixed-shape
+        rounds.  The whole call ships at most two host->device transfers (the
+        vectors and the sampled levels); the round schedule then runs as
+        lax.scan chunks of SCAN_CHUNK insert_rounds per dispatch — through
+        the axon tunnel, per-round transfers measured 5-20 ms each and could
+        stall the device stream (see insert_rounds_scan)."""
+        cfg = self.config
+        rs = self.round_size
+        if self.host_n + data.shape[0] > self.max_elements:
             raise RuntimeError(
-                f"index is full: {int(self.graph.n)} + {data.shape[0]} > "
+                f"index is full: {self.host_n} + {data.shape[0]} > "
                 f"max_elements {self.max_elements}"
             )
         data = self.prep(data)
-        on_device = isinstance(data, jnp.ndarray)
         n_new = data.shape[0]
         levels = sample_levels(self.rng, n_new, cfg.mL, self.l_max)
-        if on_device:
-            # pad once so fixed-size dynamic slices never overrun
-            data = jnp.pad(data, ((0, self.round_size), (0, 0)))
-        done = 0
-        while done < n_new:
-            n_cur = int(self.graph.n)
-            if n_cur == 0:
-                first = data[0] if not on_device else np.asarray(data[0])
-                lvl0 = int(levels[0])
-                self.graph = bootstrap(
-                    self.graph, first, lvl0, cfg.metric,
-                    storage=cfg.storage,
-                )
-                if lvl0 >= 1:
-                    self.seed_bank = self.seed_bank.at[0].set(0)
-                    self.seed_n = jnp.int32(1)
-                    self.host_upper_count = 1
-                self.host_max_level = lvl0
-                done += 1
-                continue
-            # doubling schedule: never insert more than the snapshot size
-            count = min(self.round_size, n_new - done, max(n_cur, 1))
-            if on_device:
-                vecs = jax.lax.dynamic_slice_in_dim(
-                    data, done, self.round_size, axis=0
-                )
-            else:
-                host = np.zeros((self.round_size, cfg.dim), np.float32)
-                host[:count] = data[done : done + count]
-                vecs = jnp.asarray(host)
-            lvls = np.zeros((self.round_size,), np.int32)
-            lvls[: min(count, n_new - done)] = levels[done : done + count]
-            # static per-round connect ceiling, bucketed to {2, 3, l_max} so
-            # the build compiles few insert_round variants (P(level>=3)
-            # = M^-3 per point: most rounds top out at 2)
-            top_actual = min(int(lvls[:count].max()), self.host_max_level)
-            round_top = top_actual
-            for b in (2, 3, self.l_max):
-                if round_top <= b:
-                    round_top = b
-                    break
-            # descent is only needed as entry for connect layers >= 2 (seeds
-            # cover layers 0-1) or while the seed bank is still empty
-            need_descent = top_actual >= 2 or self.host_upper_count == 0
-            # packed upper-level widths must fit this round's actual counts
-            for lv_ in range(1, round_top + 1):
-                c_l = int((lvls[:count] >= lv_).sum())
-                w_l = upper_round_width(self.round_size, cfg.M, lv_)
-                if c_l > w_l:
-                    raise RuntimeError(
-                        f"round has {c_l} points at level>={lv_}, packed "
-                        f"width {w_l} — astronomically unlikely at default "
-                        f"mL; raise upper_round_width's margin if hit"
-                    )
-            self.graph, self.seed_bank, self.seed_n = insert_round(
-                self.graph,
-                vecs,
-                jnp.asarray(lvls),
-                jnp.int32(n_cur),
-                jnp.int32(count),
-                self.seed_bank,
-                self.seed_n,
-                efc=cfg.ef_construction,
-                m=cfg.M,
-                m_max0=cfg.M_max0,
-                rev_cap=self.rev_cap,
-                metric=cfg.metric,
-                keep_pruned=cfg.keep_pruned_connections,
-                storage=cfg.storage,
-                round_top=round_top,
-                need_descent=need_descent,
-                build_mi=self.build_mi,
-                build_ck=self.build_ck,
-                extend=cfg.extend_candidates,
-                heuristic=cfg.select == "heuristic",
-                select_scan=self.select_scan,
+        # arena-capacity pre-check, exact (host knows every sampled level):
+        # the last arena row is the reserved scatter sink
+        need = self.host_up_n + int(levels.sum())
+        if need > self.graph.t_cap - 1:
+            raise RuntimeError(
+                f"upper-arena overflow: need {need} rows, capacity "
+                f"{self.graph.t_cap - 1} — astronomically unlikely at default "
+                f"mL; raise arena_capacity's margin if hit"
             )
-            self.host_max_level = max(self.host_max_level,
-                                      int(lvls[:count].max()))
-            self.host_upper_count += int((lvls[:count] >= 1).sum())
+        self.host_up_n = need
+        if not isinstance(data, jnp.ndarray):
+            data = jnp.asarray(data)  # ONE put for the whole call
+        levels_dev = jnp.asarray(levels)  # and one for the levels
+        if n_new:
+            self._maybe_init_packed(data)
+        done = 0
+        if self.host_n == 0:
+            lvl0 = int(levels[0])
+            self.graph = bootstrap(
+                self.graph, data[0], lvl0, cfg.metric, storage=cfg.storage,
+            )
+            if lvl0 >= 1:
+                self.seed_bank = self.seed_bank.at[0].set(0)
+                self.seed_n = jnp.int32(1)
+                self.host_upper_count = 1
+                g0 = self.graph
+                v0 = (g0.vectors[0].astype(jnp.float32) * g0.scales[0])
+                self.seed_vecs = self.seed_vecs.at[0].set(
+                    v0.astype(jnp.bfloat16))
+                self.seed_norms = self.seed_norms.at[0].set(g0.norms[0])
+            self.host_max_level = lvl0
+            self.host_n = 1
+            done = 1
+        # host-side schedule (doubling: a round never inserts more points
+        # than the pre-round snapshot holds) + packed-width pre-check
+        w_1 = upper_round_width(rs, cfg.M, 1)
+        rounds = []
+        n_cur = self.host_n
+        while done < n_new:
+            count = min(rs, n_new - done, max(n_cur, 1))
+            c_1 = int((levels[done : done + count] >= 1).sum())
+            if c_1 > w_1:
+                raise RuntimeError(
+                    f"round has {c_1} points at level>=1, packed width "
+                    f"{w_1} — astronomically unlikely at default mL; raise "
+                    f"upper_round_width's margin if hit"
+                )
+            rounds.append((done, count))
+            n_cur += count
             done += count
+        kw = self._round_kwargs()
+        i = 0
+        while i < len(rounds):
+            if len(rounds) - i >= self.SCAN_CHUNK:
+                chunk = rounds[i : i + self.SCAN_CHUNK]
+                (self.graph, self.seed_bank, self.seed_n, self.seed_vecs,
+                 self.seed_norms, self.pack_pay,
+                 self.pack_meta) = insert_rounds_scan(
+                    self.graph, data, levels_dev,
+                    jnp.asarray(np.array([d for d, _ in chunk], np.int32)),
+                    jnp.asarray(np.array([c for _, c in chunk], np.int32)),
+                    self.seed_bank, self.seed_n, self.seed_vecs,
+                    self.seed_norms, self.pack_pay, self.pack_meta,
+                    self.pack_scale, rs=rs, **kw,
+                )
+                i += self.SCAN_CHUNK
+            else:
+                d, count = rounds[i]
+                vecs, lvls = _pick_round_jit(
+                    data, levels_dev, jnp.int32(d), jnp.int32(count), rs=rs
+                )
+                (self.graph, self.seed_bank, self.seed_n, self.seed_vecs,
+                 self.seed_norms, self.pack_pay,
+                 self.pack_meta) = insert_round(
+                    self.graph, vecs, lvls, self.graph.n, jnp.int32(count),
+                    self.seed_bank, self.seed_n, self.seed_vecs,
+                    self.seed_norms, self.pack_pay, self.pack_meta,
+                    self.pack_scale, **kw,
+                )
+                i += 1
+        if rounds:
+            tail = levels[rounds[0][0]:]  # rows inserted by the rounds
+            self.host_max_level = max(self.host_max_level, int(tail.max()))
+            self.host_upper_count += int((tail >= 1).sum())
+            self.host_n += int(sum(c for _, c in rounds))
 
 
 def build(data: np.ndarray, config: HnswConfig,

@@ -139,13 +139,15 @@ def _pack_rounds(vectors, scales, adj0, inv_s, d_pad: int, w: int, slab: int):
     return jax.lax.fori_loop(0, n_cap // slab, body, (pay, meta))
 
 
-def pack_graph(graph: GraphTensors, metric: str) -> PackedGraph:
+def pack_graph(graph: GraphTensors, metric: str,
+               scale=None) -> PackedGraph:
     """Build the inline-neighbor payload from a (re)built graph.
 
     One pass over adjacency in HBM-friendly slabs; the global scale is the
-    max |component| of the stored vectors (dequantized), so integer-grid data
-    quantizes exactly.  Must be re-run after any insert (api.Index does this
-    lazily via a dirty flag)."""
+    max |component| of the stored vectors (dequantized) — or the caller's
+    `scale` when future inserts/queries need a wider range — so integer-grid
+    data quantizes exactly.  Must be re-run after any insert (api.Index does
+    this lazily via a dirty flag; BuildState maintains it incrementally)."""
     from ocaml_hnsw_tpu.ops.metrics import get_metric
 
     if get_metric(metric).matmul_score is None:
@@ -160,13 +162,16 @@ def pack_graph(graph: GraphTensors, metric: str) -> PackedGraph:
     slab = min(8192, n_cap)
     while n_cap % slab:
         slab //= 2
-    vmax = jnp.max(jnp.abs(graph.vectors.astype(jnp.float32)))
-    if graph.vectors.dtype == jnp.int8:
-        vmax = jnp.max(
-            jnp.abs(graph.vectors.astype(jnp.float32))
-            * graph.scales[:, None]
-        )
-    s = jnp.maximum(vmax / 127.0, 1e-30)
+    if scale is None:
+        vmax = jnp.max(jnp.abs(graph.vectors.astype(jnp.float32)))
+        if graph.vectors.dtype == jnp.int8:
+            vmax = jnp.max(
+                jnp.abs(graph.vectors.astype(jnp.float32))
+                * graph.scales[:, None]
+            )
+        s = jnp.maximum(vmax / 127.0, 1e-30)
+    else:
+        s = jnp.maximum(jnp.asarray(scale, jnp.float32), 1e-30)
     pay, meta = _pack_rounds(
         graph.vectors, graph.scales, graph.adj0, 1.0 / s,
         d_pad=d_pad, w=w, slab=slab,
@@ -177,6 +182,57 @@ def pack_graph(graph: GraphTensors, metric: str) -> PackedGraph:
 def quantize_queries(q, scale):
     """Round preprocessed queries onto the payload's s-grid (int8[B, D])."""
     return jnp.clip(jnp.round(q / scale), -127, 127).astype(jnp.int8)
+
+
+# --------------------------------------------------- build-time maintenance
+# The level-0 construction beam is 75% of a warm insert round (242 of 321 ms
+# at 1M, scripts/profile_build.py), and it pays the same per-row gather tax
+# the packed engine was built to avoid.  Maintaining the payload *during*
+# construction lets insert_round run its efc-wide beam on inlined int8
+# neighborhoods; each round then refreshes only the O(R·M) payload rows whose
+# adjacency changed (~15 ms) instead of re-packing the graph (~10 s at 1M).
+
+def empty_packed(n_cap: int, deg: int, dim: int, scale) -> PackedGraph:
+    """All-sentinel payload for an empty graph (meta ids -1, zero norms)."""
+    d_pad = pack_d_pad(dim)
+    w = _chunk_width(deg * d_pad)
+    c = (deg * d_pad) // w
+    meta = jnp.concatenate(
+        [jnp.full((n_cap, deg), -1, jnp.int32),
+         jnp.zeros((n_cap, deg), jnp.int32)], axis=1,
+    )
+    return PackedGraph(
+        pay=jnp.zeros((n_cap * c, w), jnp.int8),
+        meta=meta,
+        scale=jnp.asarray(scale, jnp.float32),
+    )
+
+
+def refresh_payload_rows(packed: PackedGraph, vectors, scales, adj0, rows):
+    """Recompute pay/meta for the given node ids (i32[A], duplicates fine —
+    they all compute identical values; pass the sink row n_cap-1 for masked
+    slots, it recomputes to all-sentinel).  `vectors` must already contain
+    the current rows (insert_round scatters the round's vectors first)."""
+    from ocaml_hnsw_tpu.ops.distance import gather_dequant
+
+    deg, c = packed.deg, packed.chunks
+    d_pad = packed.d_pad
+    a = adj0[rows]  # [A, deg]
+    safe = jnp.maximum(a, 0)
+    v = gather_dequant(vectors, scales, safe)  # [A, deg, D] f32
+    inv = 1.0 / packed.scale
+    y = jnp.clip(jnp.round(v * inv), -127, 127).astype(jnp.int8)
+    yi = y.astype(jnp.int32)
+    nrm = jnp.sum(yi * yi, axis=-1)  # [A, deg] int32, exact
+    d = v.shape[-1]
+    if d_pad > d:
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, d_pad - d)))
+    n_rows = rows.shape[0]
+    cid = (rows[:, None] * c
+           + jnp.arange(c, dtype=jnp.int32)[None, :]).reshape(-1)
+    pay = packed.pay.at[cid].set(y.reshape(n_rows * c, packed.pay.shape[1]))
+    meta = packed.meta.at[rows].set(jnp.concatenate([a, nrm], axis=1))
+    return packed._replace(pay=pay, meta=meta)
 
 
 def beam_search_layer_packed(

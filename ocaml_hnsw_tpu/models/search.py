@@ -46,7 +46,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ocaml_hnsw_tpu.models.graph import GraphTensors
+from ocaml_hnsw_tpu.models.graph import GraphTensors, adj_take, upper_view
 from ocaml_hnsw_tpu.ops.distance import dists_to_ids, query_norms, INF
 from ocaml_hnsw_tpu.ops.bitset import (
     bitset_new,
@@ -74,7 +74,7 @@ def _greedy_level(vectors, scales, norms, adj, q, qn, cur, cur_d, enabled, metri
 
     def body(state):
         cur, cur_d, active = state
-        nbrs = adj[jnp.maximum(cur, 0)]  # [B, deg]
+        nbrs = adj_take(adj, jnp.maximum(cur, 0))  # [B, deg]
         nbrs = jnp.where(active[:, None], nbrs, -1)
         d = dists_to_ids(vectors, scales, norms, q, qn, nbrs, metric)
         bi = jnp.argmin(d, axis=1)
@@ -183,7 +183,7 @@ def beam_search_layer(
             active, jnp.take_along_axis(beam_ids, pos, axis=1), -1
         )  # [B, E]
         # 2. frontier expansion: adjacency gather
-        nbrs = adj[jnp.maximum(nodes, 0)]  # [B, E, deg]
+        nbrs = adj_take(adj, jnp.maximum(nodes, 0))  # [B, E, deg]
         nbrs = jnp.where((nodes >= 0)[:, :, None], nbrs, -1).reshape(b, -1)
         # 3. visited filter + mark (dedup on visit index), or beam-only dedup
         if beam_only:
@@ -334,7 +334,7 @@ def descend(graph: GraphTensors, q, qn, metric: str, stop_level: int = 0):
     """Greedy descent from the top layer down to stop_level+1 (Alg 5 upper part).
 
     Returns (cur, cur_d): the per-query entry point for layer `stop_level`.
-    The layer stack height is static (adj_upper.shape[0]); layers above the
+    The layer stack height is static (graph.l_max); layers above the
     live max_level are masked out."""
     b = q.shape[0]
     cur = jnp.broadcast_to(graph.entry, (b,)).astype(jnp.int32)
@@ -345,7 +345,7 @@ def descend(graph: GraphTensors, q, qn, metric: str, stop_level: int = 0):
             graph.vectors,
             graph.scales,
             graph.norms,
-            graph.adj_upper[li - 1],
+            upper_view(graph, li),
             q,
             qn,
             cur,

@@ -44,7 +44,7 @@ from ocaml_hnsw_tpu.models.build import (
 )
 
 AXIS = "shard"
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: compact upper-arena graphs (see models/graph.py)
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -58,9 +58,10 @@ def _local(tree):
     return jax.tree.map(lambda a: a[0], tree)
 
 
-def _graph_specs() -> GraphTensors:
-    """PartitionSpecs for a stacked graph: every field sharded on dim 0."""
-    return GraphTensors(*([P(AXIS)] * len(GraphTensors._fields)))
+def _graph_specs(stacked: GraphTensors) -> GraphTensors:
+    """PartitionSpecs for a stacked graph: every array field sharded on dim 0
+    (the static l_max rides along as pytree aux data)."""
+    return jax.tree.map(lambda _: P(AXIS), stacked)
 
 
 def sharded_knn(mesh: Mesh, stacked: GraphTensors, queries, k: int, ef: int,
@@ -95,7 +96,7 @@ def sharded_knn(mesh: Mesh, stacked: GraphTensors, queries, k: int, ef: int,
     fn = jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(_graph_specs(), P()) + extra_in,
+        in_specs=(_graph_specs(stacked), P()) + extra_in,
         out_specs=(P(), P()),
         check_vma=False,  # engine loop carries are not vma-annotated
     )
@@ -114,6 +115,8 @@ def sharded_insert_round(
     count,  # i32[S]
     seed_bank,  # i32[S, U_cap]
     seed_n,  # i32[S]
+    seed_vecs,  # bf16[S, U_cap, D] cached bank rows
+    seed_norms,  # f32[S, U_cap]
     *,
     efc: int,
     m: int,
@@ -121,8 +124,6 @@ def sharded_insert_round(
     rev_cap: int,
     metric: str,
     keep_pruned: bool,
-    round_top: int,
-    need_descent: bool,
     extend: bool = False,
     heuristic: bool = True,
     storage: str = "f32",
@@ -131,27 +132,28 @@ def sharded_insert_round(
     No cross-shard edges exist (shards are independent subindexes), so the
     only collective is the implicit SPMD program itself."""
 
-    def step(local_stacked, v, lv, st, ct, bank, bn):
+    def step(local_stacked, v, lv, st, ct, bank, bn, bvec, bnrm):
         g = _local(local_stacked)
-        g2, bank2, bn2 = insert_round(
-            g, v[0], lv[0], st[0], ct[0], bank[0], bn[0],
+        g2, bank2, bn2, bvec2, bnrm2, _, _ = insert_round(
+            g, v[0], lv[0], st[0], ct[0], bank[0], bn[0], bvec[0], bnrm[0],
             efc=efc, m=m, m_max0=m_max0, rev_cap=rev_cap, metric=metric,
-            keep_pruned=keep_pruned, round_top=round_top,
-            need_descent=need_descent, extend=extend, heuristic=heuristic,
+            keep_pruned=keep_pruned, extend=extend, heuristic=heuristic,
             storage=storage,
         )
         expand = lambda a: jax.tree.map(lambda x: x[None], a)
-        return expand(g2), expand(bank2), expand(bn2)
+        return (expand(g2), expand(bank2), expand(bn2), expand(bvec2),
+                expand(bnrm2))
 
     fn = jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(_graph_specs(), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                  P(AXIS), P(AXIS)),
-        out_specs=(_graph_specs(), P(AXIS), P(AXIS)),
+        in_specs=(_graph_specs(stacked), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                  P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(_graph_specs(stacked), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         check_vma=False,  # engine loop carries are not vma-annotated
     )
-    return fn(stacked, vecs, levels, start, count, seed_bank, seed_n)
+    return fn(stacked, vecs, levels, start, count, seed_bank, seed_n,
+              seed_vecs, seed_norms)
 
 
 class ShardedIndex:
@@ -212,6 +214,10 @@ class ShardedIndex:
         self._seed_bank = self._shard_put(
             jnp.full((s, u_cap), -1, jnp.int32))
         self._seed_n = self._shard_put(jnp.zeros((s,), jnp.int32))
+        self._seed_vecs = self._shard_put(
+            jnp.zeros((s, u_cap, self.dim), jnp.bfloat16))
+        self._seed_norms = self._shard_put(
+            jnp.zeros((s, u_cap), jnp.float32))
 
     def _shard_put(self, tree):
         sharding = jax.tree.map(
@@ -255,7 +261,7 @@ class ShardedIndex:
         gids = np.arange(n_tot, n_tot + n_new)
         shard_of = gids % s
         per_shard_data = [data[shard_of == i] for i in range(s)]
-        l_max = int(stacked.adj_upper.shape[1])
+        l_max = stacked.l_max_static
         per_shard_levels = [
             sample_levels(self._rngs[i], len(per_shard_data[i]), cfg.mL,
                           l_max)
@@ -270,11 +276,13 @@ class ShardedIndex:
         if boot_needed:
             host = jax.tree.map(np.asarray, stacked)
             graphs = [
-                GraphTensors(*(jnp.asarray(f[i]) for f in host))
+                jax.tree.map(lambda a, i=i: jnp.asarray(a[i]), host)
                 for i in range(s)
             ]
             bank_h = np.asarray(self._seed_bank)
             bn_h = np.asarray(self._seed_n)
+            svec_h = np.asarray(self._seed_vecs)
+            snrm_h = np.asarray(self._seed_norms)
             for i in boot_needed:
                 lvl0 = int(per_shard_levels[i][0])
                 graphs[i] = bootstrap(
@@ -284,6 +292,11 @@ class ShardedIndex:
                     bank_h[i, 0] = 0
                     bn_h[i] = 1
                     self._host_upper[i] += 1
+                    g0 = graphs[i]
+                    v0 = (np.asarray(g0.vectors[0], np.float32)
+                          * float(g0.scales[0]))
+                    svec_h[i, 0] = v0
+                    snrm_h[i, 0] = float(g0.norms[0])
                 self._host_max_level[i] = max(self._host_max_level[i], lvl0)
                 per_shard_data[i] = per_shard_data[i][1:]
                 per_shard_levels[i] = per_shard_levels[i][1:]
@@ -294,6 +307,8 @@ class ShardedIndex:
             stacked = self._shard_put(restacked)
             self._seed_bank = self._shard_put(jnp.asarray(bank_h))
             self._seed_n = self._shard_put(jnp.asarray(bn_h))
+            self._seed_vecs = self._shard_put(jnp.asarray(svec_h))
+            self._seed_norms = self._shard_put(jnp.asarray(snrm_h))
 
         done = np.zeros(s, dtype=np.int64)
         todo = np.array([len(d) for d in per_shard_data])
@@ -312,33 +327,24 @@ class ShardedIndex:
                 if c:
                     vecs[i, :c] = per_shard_data[i][done[i] : done[i] + c]
                     lvls[i, :c] = per_shard_levels[i][done[i] : done[i] + c]
-            round_max = int(lvls.max()) if lvls.size else 0
-            top_actual = min(round_max, int(self._host_max_level.max()))
-            round_top = top_actual
-            for b in (2, 3, l_max):
-                if round_top <= b:
-                    round_top = b
-                    break
-            round_top = min(round_top, l_max)
-            need_descent = top_actual >= 2 or int(self._host_upper.min()) == 0
             from ocaml_hnsw_tpu.models.build import upper_round_width
 
-            for lv_ in range(1, round_top + 1):
-                c_l = int((lvls >= lv_).sum(axis=1).max()) if lvls.size else 0
-                if c_l > upper_round_width(r, cfg.M, lv_):
-                    raise RuntimeError(
-                        f"shard round has {c_l} points at level>={lv_} — "
-                        f"exceeds the packed upper width"
-                    )
-            stacked, self._seed_bank, self._seed_n = sharded_insert_round(
+            c_1 = int((lvls >= 1).sum(axis=1).max()) if lvls.size else 0
+            if c_1 > upper_round_width(r, cfg.M, 1):
+                raise RuntimeError(
+                    f"shard round has {c_1} points at level>=1 — "
+                    f"exceeds the packed upper width"
+                )
+            (stacked, self._seed_bank, self._seed_n, self._seed_vecs,
+             self._seed_norms) = sharded_insert_round(
                 self.mesh, stacked,
                 jnp.asarray(vecs), jnp.asarray(lvls),
                 jnp.asarray(start), jnp.asarray(count),
                 self._seed_bank, self._seed_n,
+                self._seed_vecs, self._seed_norms,
                 efc=cfg.ef_construction, m=cfg.M, m_max0=cfg.M_max0,
                 rev_cap=self.rev_cap, metric=cfg.metric,
                 keep_pruned=cfg.keep_pruned_connections,
-                round_top=round_top, need_descent=need_descent,
                 extend=cfg.extend_candidates,
                 heuristic=cfg.select == "heuristic",
                 storage=cfg.storage,
@@ -436,6 +442,7 @@ class ShardedIndex:
             "round_size": self.round_size,
             "ef": self.ef,
             "rev_cap": self.rev_cap,
+            "l_max": stacked.l_max_static,
         }
         arrays = {
             f"g_{name}": np.asarray(getattr(stacked, name))
@@ -481,12 +488,31 @@ class ShardedIndex:
             self.ef = meta["ef"]
             self.rev_cap = meta["rev_cap"]
             self.per_shard_cap = -(-self.max_elements // self.n_shards)
-            stacked = GraphTensors(
-                *(jnp.asarray(z[f"g_{n}"]) for n in GraphTensors._fields)
-            )
+            fields = {n: jnp.asarray(z[f"g_{n}"])
+                      for n in GraphTensors._fields if f"g_{n}" in z}
+            if "g_adj_upper" in z:  # format v1: dense upper layers, per shard
+                from ocaml_hnsw_tpu.io import _arena_from_dense
+
+                dense = np.asarray(z["g_adj_upper"])  # [S, L, cap, M]
+                lv = np.asarray(z["g_levels"])
+                nn = np.asarray(z["g_n"])
+                per = [
+                    _arena_from_dense(dense[i], lv[i], int(nn[i]),
+                                      cfg.M, self.per_shard_cap)
+                    for i in range(self.n_shards)
+                ]
+                fields["adj_up"] = jnp.asarray(np.stack([p[0] for p in per]))
+                fields["up_base"] = jnp.asarray(np.stack([p[1] for p in per]))
+                fields["up_n"] = jnp.asarray(
+                    np.array([p[2] for p in per], np.int32))
+                l_max_static = per[0][3]
+            else:
+                l_max_static = meta["l_max"]
+            stacked = GraphTensors(**fields, l_max_static=l_max_static)
             self._stacked = self._shard_put(stacked)
             self._seed_bank = self._shard_put(jnp.asarray(z["seed_bank"]))
             self._seed_n = self._shard_put(jnp.asarray(z["seed_n"]))
+            self._rebuild_seed_cache()
             self._labels = np.asarray(z["labels"])
             self._shard_n = np.asarray(z["shard_n"]).copy()
             self._host_max_level = np.asarray(z["host_max_level"]).copy()
@@ -516,34 +542,32 @@ class ShardedIndex:
             self.per_shard_cap = per_shard
             return  # padded capacity already sufficient
         grow = new_cap - old_cap
-        l_old = stacked.adj_upper.shape[1]
+        l_old = stacked.l_max_static
         l_new = proto.l_max
 
         def pad2(a, fill):
             widths = [(0, 0), (0, grow)] + [(0, 0)] * (a.ndim - 2)
             return jnp.pad(a, widths, constant_values=fill)
 
-        adj_upper = jnp.pad(
-            stacked.adj_upper, ((0, 0), (0, 0), (0, grow), (0, 0)),
-            constant_values=-1,
-        )
-        if l_new > l_old:
-            extra = jnp.full(
-                (s, l_new - l_old, new_cap, stacked.adj_upper.shape[3]), -1,
-                jnp.int32,
-            )
-            adj_upper = jnp.concatenate([adj_upper, extra], axis=1)
+        t_grow = proto.t_cap - stacked.adj_up.shape[1]
+        adj_up = stacked.adj_up
+        if t_grow > 0:
+            adj_up = jnp.pad(adj_up, ((0, 0), (0, t_grow), (0, 0)),
+                             constant_values=-1)
         new_stacked = GraphTensors(
             vectors=pad2(stacked.vectors, 0),
             scales=pad2(stacked.scales, 1.0),
             norms=pad2(stacked.norms, 0.0),
             adj0=pad2(stacked.adj0, -1),
-            adj_upper=adj_upper,
+            adj_up=adj_up,
+            up_base=pad2(stacked.up_base, -1),
+            up_n=stacked.up_n,
             levels=pad2(stacked.levels, -1),
             entry=stacked.entry,
             max_level=stacked.max_level,
             n=stacked.n,
             deleted=pad2(stacked.deleted, False),
+            l_max_static=max(l_new, l_old),
         )
         self._stacked = self._shard_put(new_stacked)
         # seed bank capacity may need to grow with n_cap
@@ -553,5 +577,28 @@ class ShardedIndex:
             bank = jnp.pad(self._seed_bank, ((0, 0), (0, u_new - u_old)),
                            constant_values=-1)
             self._seed_bank = self._shard_put(bank)
+            self._rebuild_seed_cache()
         self.max_elements = new_max_elements
         self.per_shard_cap = per_shard
+
+    def _rebuild_seed_cache(self) -> None:
+        """Recompute the bf16 bank-row cache from the stored vectors (one
+        batched gather; used after load/resize)."""
+        stacked = self._stacked
+        safe = jnp.maximum(self._seed_bank, 0)  # [S, U]
+        vecs = jnp.take_along_axis(
+            stacked.vectors.astype(jnp.float32), safe[:, :, None], axis=1
+        )
+        vecs = vecs * jnp.take_along_axis(stacked.scales, safe, axis=1)[
+            :, :, None]
+        live = (self._seed_bank >= 0)[:, :, None]
+        self._seed_vecs = self._shard_put(
+            jnp.where(live, vecs, 0.0).astype(jnp.bfloat16))
+        from ocaml_hnsw_tpu.ops.metrics import get_metric
+
+        if get_metric(self.config.metric).needs_norms:
+            nrm = jnp.sum(vecs * vecs, axis=2)
+        else:
+            nrm = jnp.zeros(vecs.shape[:2], jnp.float32)
+        self._seed_norms = self._shard_put(
+            jnp.where(live[:, :, 0], nrm, 0.0))

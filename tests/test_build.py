@@ -10,6 +10,7 @@ from ocaml_hnsw_tpu.config import HnswConfig
 from ocaml_hnsw_tpu.oracle import OracleHNSW, bruteforce_knn, recall
 from ocaml_hnsw_tpu.models import knn_search
 from ocaml_hnsw_tpu.models.build import build, BuildState, sample_levels
+from ocaml_hnsw_tpu.models.graph import dense_upper
 from ocaml_hnsw_tpu.bench.datasets import clustered, queries_like
 
 CFG = HnswConfig(dim=24, M=8, ef_construction=60)
@@ -30,9 +31,19 @@ class TestInvariants:
         assert n == len(data)
         adj0 = np.asarray(g.adj0)[:n]
         assert ((adj0 >= 0).sum(1) <= CFG.M_max0).all()
-        for lv in range(g.l_max):
-            up = np.asarray(g.adj_upper[lv])[:n]
+        for lv in range(1, g.l_max + 1):
+            up = dense_upper(g, lv)
             assert ((up >= 0).sum(1) <= CFG.M).all()
+        # arena accounting: allocated rows match the summed levels exactly
+        levels = np.asarray(g.levels)[:n]
+        assert int(g.up_n) == int(levels.sum())
+        ub = np.asarray(g.up_base)[:n]
+        assert ((ub >= 0) == (levels >= 1)).all()
+        blocks = sorted((int(b), int(l)) for b, l in zip(ub, levels) if l >= 1)
+        end = 0
+        for b, l in blocks:  # blocks are disjoint and tightly packed
+            assert b == end
+            end = b + l
         for i in range(n):
             row = adj0[i][adj0[i] >= 0]
             assert len(set(row.tolist())) == len(row)
@@ -48,13 +59,13 @@ class TestInvariants:
         assert int(g.max_level) == levels[:n].max()
         assert levels[int(g.entry)] == int(g.max_level)
         # edges only between nodes that exist at that layer
-        for lv in range(g.l_max):
-            up = np.asarray(g.adj_upper[lv])[:n]
+        for lv in range(1, g.l_max + 1):
+            up = dense_upper(g, lv)
             owners = np.repeat(np.arange(n), up.shape[1])
             flat = up.reshape(-1)
             mask = flat >= 0
-            assert (levels[flat[mask]] >= lv + 1).all()
-            assert (levels[owners[mask]] >= lv + 1).all()
+            assert (levels[flat[mask]] >= lv).all()
+            assert (levels[owners[mask]] >= lv).all()
 
     def test_level_stream_matches_oracle(self, built):
         # determinism hook: device build consumes the same RNG stream as the
@@ -99,9 +110,39 @@ class TestDeterminism:
         g2 = build(data, cfg, round_size=64)
         np.testing.assert_array_equal(np.asarray(g1.adj0), np.asarray(g2.adj0))
         np.testing.assert_array_equal(
-            np.asarray(g1.adj_upper), np.asarray(g2.adj_upper)
+            np.asarray(g1.adj_up), np.asarray(g2.adj_up)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(g1.up_base), np.asarray(g2.up_base)
         )
         assert int(g1.entry) == int(g2.entry)
+
+    def test_scan_driver_matches_per_round(self):
+        """The lax.scan round driver (BuildState.SCAN_CHUNK rounds per
+        dispatch) is the same program as the per-round path — graphs must
+        match exactly."""
+        data = clustered(600, 16, n_clusters=10, seed=5)
+        cfg = HnswConfig(dim=16, M=8, ef_construction=40)
+        st1 = BuildState(cfg, max_elements=600, round_size=64)
+        st1.SCAN_CHUNK = 4  # force the scan path on a small build
+        st1.add(data)
+        st2 = BuildState(cfg, max_elements=600, round_size=64)
+        st2.SCAN_CHUNK = 10**9  # pure per-round path
+        st2.add(data)
+        g1, g2 = st1.graph, st2.graph
+        assert st1.host_n == st2.host_n == 600
+        np.testing.assert_array_equal(np.asarray(g1.adj0), np.asarray(g2.adj0))
+        np.testing.assert_array_equal(
+            np.asarray(g1.adj_up), np.asarray(g2.adj_up)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(g1.levels), np.asarray(g2.levels)
+        )
+        assert int(g1.entry) == int(g2.entry)
+        assert int(g1.n) == int(g2.n) == 600
+        np.testing.assert_array_equal(
+            np.asarray(st1.seed_bank), np.asarray(st2.seed_bank)
+        )
 
     def test_sample_levels_stream(self):
         rng1 = np.random.RandomState(100)
