@@ -49,10 +49,19 @@ from ocaml_hnsw_tpu.utils import round_up
 
 
 def upper_round_width(r: int, m: int, level: int) -> int:
-    """Static row capacity for the packed upper-level connect stage: 4x the
-    binomial expectation r/M^level (a +30σ-at-defaults margin; BuildState
-    asserts the actual per-round count fits), floored at 64, capped at r."""
-    want = max(64, (4 * r) // (m ** level))
+    """Static row capacity for the packed upper-level connect stage.
+
+    Level 1 (the wide stage, run once per round): 2x the binomial expectation
+    r/M with a 128 floor — the floor keeps small rounds ≥ +5σ and the 2x
+    margin is ≥ +11σ at r=2048 (Chernoff ≤ e^-42 per round); BuildState
+    raises if a sampled round ever exceeds it.  Levels ≥ 2 (run per level in
+    the narrow fori stage): 4x expectation r/M^level with a 64 floor.
+    Measured at 1M/R=2048: giving levels ≥ 2 level-1's width cost 106 ms of a
+    407 ms round in masked rows."""
+    if level <= 1:
+        want = max(128, (2 * r) // m)
+    else:
+        want = max(64, (4 * r) // (m ** level))
     p = 1
     while p < want:
         p *= 2
@@ -292,13 +301,18 @@ def apply_edges(
     cvalid = combined >= 0
     overflow = jnp.sum(cvalid, axis=1) > m_cap
 
-    # append path: old entries first, then the new ones, packed
+    # ONE gather of the candidate rows serves both the exact distance block
+    # and the shrink path's pairwise matrix (the old code re-gathered the
+    # same A·K2 rows after the sort — ~12 ms/round of pure HBM transactions
+    # at 1M; permuting the [A, K2, K2] pairwise matrix in-register is far
+    # cheaper than a second row gather).
+    from ocaml_hnsw_tpu.ops.metrics import get_metric
+
+    cvec = gather_dequant(vectors, scales, jnp.where(cvalid, combined, 0))
     evec = gather_dequant(vectors, scales, aff_ids[:, None])[:, 0, :]
-    enorm = norms[aff_ids]
-    dcomb = dists_to_ids(
-        vectors, scales, norms, evec, enorm,
-        jnp.where(cvalid, combined, -1), metric
-    )
+    dcomb = jnp.where(cvalid, get_metric(metric).pair_dist(cvec, evec), INF)
+
+    # append path: old entries first, then the new ones, packed
     app_ids, _ = compact_by_mask(combined, dcomb, cvalid, m_cap)
 
     # shrink path: re-prune over old ∪ new, sorted by distance — Alg 4
@@ -309,24 +323,30 @@ def apply_edges(
 
     k2 = combined.shape[1]
     p2 = next_pow2(k2)
-    sd_in = jnp.where(cvalid, dcomb, INF)
+    sd_in = dcomb
     si_in = combined
+    pos_in = jnp.broadcast_to(jnp.arange(k2, dtype=jnp.int32), combined.shape)
     if p2 > k2:
         sd_in = jnp.pad(sd_in, ((0, 0), (0, p2 - k2)),
                         constant_values=jnp.inf)
         si_in = jnp.pad(si_in, ((0, 0), (0, p2 - k2)), constant_values=-1)
-    sc_d, (sc_ids,) = bitonic_sort(sd_in, [si_in], ascending=True)
+        pos_in = jnp.pad(pos_in, ((0, 0), (0, p2 - k2)), constant_values=0)
+    sc_d, (sc_ids, sc_pos) = bitonic_sort(sd_in, [si_in, pos_in],
+                                          ascending=True)
     sc_d = sc_d[:, :k2]
     sc_ids = sc_ids[:, :k2]
+    sc_pos = sc_pos[:, :k2]
     sc_valid = sc_ids >= 0
     if heuristic:
-        svec = gather_dequant(vectors, scales, sc_ids)
-        snorm = norms[jnp.maximum(sc_ids, 0)]
+        cnorm = norms[jnp.where(cvalid, combined, 0)]
         # shrink-only pruning: 1-pass MXU precision — ~0.4% error flips only
         # near-tie diversity decisions, and these tiny batched matmuls at
         # 3-pass HIGHEST dominated the whole round (measured ~2s at R=2048)
-        pair2 = pairwise_dists(svec, snorm, metric,
-                               precision=jax.lax.Precision.DEFAULT)
+        pair_c = pairwise_dists(cvec, cnorm, metric,
+                                precision=jax.lax.Precision.DEFAULT)
+        # reorder to sorted candidate order: permute rows+cols by sc_pos
+        pair2 = jnp.take_along_axis(pair_c, sc_pos[:, :, None], axis=1)
+        pair2 = jnp.take_along_axis(pair2, sc_pos[:, None, :], axis=2)
         sel2 = heuristic_admit(sc_d, pair2, sc_valid, m_cap, keep_pruned)
     else:
         sel2 = sc_valid
@@ -343,7 +363,8 @@ def apply_edges(
     static_argnames=(
         "efc", "efc_upper", "m", "m_max0", "rev_cap", "metric",
         "keep_pruned", "storage", "seed_e",
-        "build_mi", "build_ck", "extend", "heuristic", "select_scan",
+        "build_mi", "build_ck", "build_expand", "extend", "heuristic",
+        "select_scan",
     ),
 )
 def insert_round(
@@ -372,6 +393,7 @@ def insert_round(
     seed_e: int = 16,
     build_mi: int | None = None,
     build_ck: int | None = None,
+    build_expand: int = 4,
     extend: bool = False,
     heuristic: bool = True,
     select_scan: int | None = None,
@@ -537,18 +559,13 @@ def insert_round(
 
     cur, cur_d = jax.lax.fori_loop(0, l_max, desc_body, (cur, cur_d))
 
-    # ---- upper-level connect, ONE fori_loop from round_top_dyn down to 1,
-    # all levels at one static width (level-1's, the widest: ~4x the binomial
-    # expectation r/M; BuildState asserts the actual counts fit).  Only
-    # ~r/M^level rows are live per level; the rest are masked and their
-    # beams/scatters hit the sink.
-    r_l = upper_round_width(r, m, 1)
-
-    def up_body(i, carry):
-        arena, ep_ids, ep_d = carry
-        level = round_top_dyn - i  # round_top_dyn .. 1
+    # ---- upper-level connect: a narrow fori_loop for levels round_top..2
+    # (~r/M^level live rows — at level-1's width those stages were ~all
+    # masked rows: 106 ms of a 407 ms round at 1M), then one level-1 stage at
+    # its own width.  BuildState asserts every round's per-level counts fit.
+    def up_stage(arena, ep_ids, ep_d, level, width: int):
         lvl_mask = valid & (connect_start >= level)
-        (idx,) = jnp.nonzero(lvl_mask, size=r_l, fill_value=r)
+        (idx,) = jnp.nonzero(lvl_mask, size=width, fill_value=r)
         on = idx < r
         safe_idx = jnp.minimum(idx, r - 1)
         q_l = q[safe_idx]
@@ -599,8 +616,18 @@ def insert_round(
         )
         return arena, ep_ids2, ep_d2
 
+    r_hi = upper_round_width(r, m, 2)
+
+    def up_body(i, carry):
+        arena, ep_ids, ep_d = carry
+        return up_stage(arena, ep_ids, ep_d, round_top_dyn - i, r_hi)
+
     arena, ep_ids, ep_d = jax.lax.fori_loop(
-        0, round_top_dyn, up_body, (arena, ep_ids, ep_d)
+        0, jnp.maximum(round_top_dyn - 1, 0), up_body, (arena, ep_ids, ep_d)
+    )
+    # level 1 (masks handle the no-upper-points case: every row is sink-bound)
+    arena, ep_ids, ep_d = up_stage(
+        arena, ep_ids, ep_d, jnp.int32(1), upper_round_width(r, m, 1)
     )
 
     # ---- level 0: full-width connect for every valid point
@@ -633,11 +660,11 @@ def insert_round(
         q8 = quantize_queries(q, pack_scale)
         if pk.d_pad > q8.shape[1]:
             q8 = jnp.pad(q8, ((0, 0), (0, pk.d_pad - q8.shape[1])))
-        mi_eff = build_mi if build_mi is not None else 2 * efc // 4
+        mi_eff = build_mi if build_mi is not None else 2 * efc // build_expand
         w_ids, _, _ = beam_search_layer_packed(
             pk, q8, qn, entry_ids, entry_d, efc,
             needs_norms=get_metric(metric).needs_norms,
-            max_iters=mi_eff, expand=4,
+            max_iters=mi_eff, expand=build_expand,
         )
         w_d = dists_to_ids(vectors, scales, norms, q, qn, w_ids, metric)
         p2 = next_pow2(efc)
@@ -651,7 +678,7 @@ def insert_round(
     else:
         w_ids, w_d, _ = beam_search_layer(
             vectors, scales, norms, adj0, q, qn, entry_ids, entry_d,
-            efc, metric, expand=4, visited_bits=0,
+            efc, metric, expand=build_expand, visited_bits=0,
             max_iters=build_mi, compact_k=build_ck,
         )
     if extend:
@@ -756,8 +783,8 @@ _pick_round_jit = jax.jit(_pick_round, static_argnames=("rs",))
     jax.jit,
     static_argnames=(
         "rs", "efc", "m", "m_max0", "rev_cap", "metric", "keep_pruned",
-        "storage", "build_mi", "build_ck", "extend", "heuristic",
-        "select_scan",
+        "storage", "build_mi", "build_ck", "build_expand", "extend",
+        "heuristic", "select_scan",
     ),
     donate_argnames=("graph", "seed_bank", "seed_n", "seed_vecs",
                      "seed_norms", "pack_pay", "pack_meta"),
@@ -774,7 +801,7 @@ def insert_rounds_scan(
     rs: int,
     efc: int, m: int, m_max0: int, rev_cap: int, metric: str,
     keep_pruned: bool, storage: str, build_mi, build_ck,
-    extend: bool, heuristic: bool, select_scan,
+    build_expand: int, extend: bool, heuristic: bool, select_scan,
 ):
     """A fixed-length `lax.scan` of insert_round: C rounds in ONE dispatch.
 
@@ -792,8 +819,8 @@ def insert_rounds_scan(
         kw = dict(
             efc=efc, m=m, m_max0=m_max0, rev_cap=rev_cap, metric=metric,
             keep_pruned=keep_pruned, storage=storage, build_mi=build_mi,
-            build_ck=build_ck, extend=extend, heuristic=heuristic,
-            select_scan=select_scan,
+            build_ck=build_ck, build_expand=build_expand, extend=extend,
+            heuristic=heuristic, select_scan=select_scan,
         )
         if packed:
             graph, bank, bn, bvec, bnrm, pay, meta = carry
@@ -885,6 +912,7 @@ class BuildState:
         # cost, so it defaults on for wide candidate blocks; iteration caps
         # measured recall-neutral but not faster, so build_mi stays None.
         self.build_mi: int | None = None
+        self.build_expand: int = 4
         self.select_scan: int | None = None
         self.build_ck: int | None = (
             (3 * 4 * config.M_max0) // 4 if 4 * config.M_max0 >= 128 else None
@@ -1024,6 +1052,7 @@ class BuildState:
             storage=cfg.storage,
             build_mi=self.build_mi,
             build_ck=self.build_ck,
+            build_expand=self.build_expand,
             extend=cfg.extend_candidates,
             heuristic=cfg.select == "heuristic",
             select_scan=self.select_scan,
@@ -1082,16 +1111,20 @@ class BuildState:
         # host-side schedule (doubling: a round never inserts more points
         # than the pre-round snapshot holds) + packed-width pre-check
         w_1 = upper_round_width(rs, cfg.M, 1)
+        w_2 = upper_round_width(rs, cfg.M, 2)
         rounds = []
         n_cur = self.host_n
         while done < n_new:
             count = min(rs, n_new - done, max(n_cur, 1))
-            c_1 = int((levels[done : done + count] >= 1).sum())
-            if c_1 > w_1:
+            lv_r = levels[done : done + count]
+            c_1 = int((lv_r >= 1).sum())
+            c_2 = int((lv_r >= 2).sum())
+            if c_1 > w_1 or c_2 > w_2:
                 raise RuntimeError(
-                    f"round has {c_1} points at level>=1, packed width "
-                    f"{w_1} — astronomically unlikely at default mL; raise "
-                    f"upper_round_width's margin if hit"
+                    f"round has {c_1} points at level>=1 / {c_2} at "
+                    f"level>=2, packed widths {w_1}/{w_2} — astronomically "
+                    f"unlikely at default mL; raise upper_round_width's "
+                    f"margin if hit"
                 )
             rounds.append((done, count))
             n_cur += count

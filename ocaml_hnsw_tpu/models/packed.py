@@ -245,6 +245,7 @@ def beam_search_layer_packed(
     needs_norms: bool,
     max_iters: int,
     expand: int = 4,
+    deg_limit: int | None = None,
 ):
     """The packed layer-0 beam loop: per iteration, expand the E nearest
     unexpanded beam nodes by gathering their meta row (ids+norms) and payload
@@ -252,10 +253,24 @@ def beam_search_layer_packed(
     contraction.  Beam dedup only (the classic engine's measured-default
     visited mode); distances land in true-f32 domain so the shared bitonic
     merge applies unchanged.  Returns (ids, d, iters) like the classic
-    layer."""
+    layer.
+
+    deg_limit: expand only each node's first `deg_limit` neighbors.
+    Adjacency rows are distance-ascending (build compaction sorts them), so
+    this visits the nearest deg_limit per node — a degree/iteration tradeoff
+    knob (CAGRA-style): half the gather bytes, half the score work, and a
+    narrower candidate sort per iteration, at more iterations for equal
+    recall.  Only whole payload chunks are fetched, so the effective limit
+    rounds up to a chunk boundary."""
     b = q8.shape[0]
     deg, c, w = packed.deg, packed.chunks, packed.pay.shape[1]
     d_pad = packed.d_pad
+    if deg_limit is not None and deg_limit < deg:
+        # whole chunks only: each chunk row holds w/d_pad neighbor vectors
+        per_chunk = max(1, w // d_pad)
+        c = max(1, -(-deg_limit // per_chunk))  # ceil
+        deg = min(deg, c * per_chunk)
+    c_full = packed.chunks
     e0 = entry_ids.shape[1]
     expand = max(1, min(expand, ef))
     s2 = packed.scale * packed.scale
@@ -296,11 +311,12 @@ def beam_search_layer_packed(
         )  # [B, E]
         safe = jnp.maximum(nodes, 0)
         # meta row: neighbor ids + their int32 norms, one thin gather
-        mrow = packed.meta[safe]  # [B, E, 2·deg]
+        mrow = packed.meta[safe]  # [B, E, 2·deg_full]
+        deg_full = packed.deg
         nbrs = jnp.where((nodes >= 0)[:, :, None], mrow[:, :, :deg], -1)
-        nrm = mrow[:, :, deg:].astype(jnp.float32)  # [B, E, deg]
+        nrm = mrow[:, :, deg_full:deg_full + deg].astype(jnp.float32)
         # payload chunk rows -> [B, E, deg, D_pad] int8 (relayout-free view)
-        cid = (safe[:, :, None] * c
+        cid = (safe[:, :, None] * c_full
                + jnp.arange(c, dtype=jnp.int32)[None, None, :]).reshape(b, -1)
         vec8 = packed.pay[cid].reshape(b, expand, deg, d_pad)
         # dot as a bf16 elementwise multiply-reduce: the int8 dot_general /
@@ -344,6 +360,7 @@ def beam_search_layer_packed(
     jax.jit,
     static_argnames=(
         "k", "ef", "metric", "max_iters", "expand", "seed_e", "rerank_k",
+        "deg_limit",
     ),
 )
 def knn_search_packed(
@@ -358,6 +375,7 @@ def knn_search_packed(
     seeds: SeedIndex | None = None,
     seed_e: int = 16,
     rerank_k: int | None = None,
+    deg_limit: int | None = None,
 ):
     """Alg 5 on the packed engine: seed-scan (or greedy) entry, packed int8
     beam at layer 0, then an exact-f32 rerank of the top `rerank_k` beam
@@ -387,6 +405,7 @@ def knn_search_packed(
     ids, d, _ = beam_search_layer_packed(
         packed, q8, qn, entry_ids, entry_d, ef,
         needs_norms=needs_norms, max_iters=max_iters, expand=expand,
+        deg_limit=deg_limit,
     )
     # tombstone filter on the approx beam, keep top rerank_k live candidates
     dead = graph.deleted[jnp.maximum(ids, 0)] | (ids < 0)

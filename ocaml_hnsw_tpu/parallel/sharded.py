@@ -330,10 +330,12 @@ class ShardedIndex:
             from ocaml_hnsw_tpu.models.build import upper_round_width
 
             c_1 = int((lvls >= 1).sum(axis=1).max()) if lvls.size else 0
-            if c_1 > upper_round_width(r, cfg.M, 1):
+            c_2 = int((lvls >= 2).sum(axis=1).max()) if lvls.size else 0
+            if (c_1 > upper_round_width(r, cfg.M, 1)
+                    or c_2 > upper_round_width(r, cfg.M, 2)):
                 raise RuntimeError(
-                    f"shard round has {c_1} points at level>=1 — "
-                    f"exceeds the packed upper width"
+                    f"shard round has {c_1} points at level>=1 / {c_2} at "
+                    f"level>=2 — exceeds the packed upper widths"
                 )
             (stacked, self._seed_bank, self._seed_n, self._seed_vecs,
              self._seed_norms) = sharded_insert_round(
