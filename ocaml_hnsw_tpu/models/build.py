@@ -301,18 +301,17 @@ def apply_edges(
     cvalid = combined >= 0
     overflow = jnp.sum(cvalid, axis=1) > m_cap
 
-    # ONE gather of the candidate rows serves both the exact distance block
-    # and the shrink path's pairwise matrix (the old code re-gathered the
-    # same A·K2 rows after the sort — ~12 ms/round of pure HBM transactions
-    # at 1M; permuting the [A, K2, K2] pairwise matrix in-register is far
-    # cheaper than a second row gather).
-    from ocaml_hnsw_tpu.ops.metrics import get_metric
-
-    cvec = gather_dequant(vectors, scales, jnp.where(cvalid, combined, 0))
+    # append path: old entries first, then the new ones, packed.
+    # (A one-gather variant that computed the pairwise matrix in combined
+    # order and permuted it to sorted order in-register measured +113 ms per
+    # 1M round — the [A, K2, K2] double take_along_axis costs far more than
+    # the re-gather it saved.  Two gathers is the measured-fast shape.)
     evec = gather_dequant(vectors, scales, aff_ids[:, None])[:, 0, :]
-    dcomb = jnp.where(cvalid, get_metric(metric).pair_dist(cvec, evec), INF)
-
-    # append path: old entries first, then the new ones, packed
+    enorm = norms[aff_ids]
+    dcomb = dists_to_ids(
+        vectors, scales, norms, evec, enorm,
+        jnp.where(cvalid, combined, -1), metric
+    )
     app_ids, _ = compact_by_mask(combined, dcomb, cvalid, m_cap)
 
     # shrink path: re-prune over old ∪ new, sorted by distance — Alg 4
@@ -323,30 +322,24 @@ def apply_edges(
 
     k2 = combined.shape[1]
     p2 = next_pow2(k2)
-    sd_in = dcomb
+    sd_in = jnp.where(cvalid, dcomb, INF)
     si_in = combined
-    pos_in = jnp.broadcast_to(jnp.arange(k2, dtype=jnp.int32), combined.shape)
     if p2 > k2:
         sd_in = jnp.pad(sd_in, ((0, 0), (0, p2 - k2)),
                         constant_values=jnp.inf)
         si_in = jnp.pad(si_in, ((0, 0), (0, p2 - k2)), constant_values=-1)
-        pos_in = jnp.pad(pos_in, ((0, 0), (0, p2 - k2)), constant_values=0)
-    sc_d, (sc_ids, sc_pos) = bitonic_sort(sd_in, [si_in, pos_in],
-                                          ascending=True)
+    sc_d, (sc_ids,) = bitonic_sort(sd_in, [si_in], ascending=True)
     sc_d = sc_d[:, :k2]
     sc_ids = sc_ids[:, :k2]
-    sc_pos = sc_pos[:, :k2]
     sc_valid = sc_ids >= 0
     if heuristic:
-        cnorm = norms[jnp.where(cvalid, combined, 0)]
+        svec = gather_dequant(vectors, scales, sc_ids)
+        snorm = norms[jnp.maximum(sc_ids, 0)]
         # shrink-only pruning: 1-pass MXU precision — ~0.4% error flips only
         # near-tie diversity decisions, and these tiny batched matmuls at
         # 3-pass HIGHEST dominated the whole round (measured ~2s at R=2048)
-        pair_c = pairwise_dists(cvec, cnorm, metric,
-                                precision=jax.lax.Precision.DEFAULT)
-        # reorder to sorted candidate order: permute rows+cols by sc_pos
-        pair2 = jnp.take_along_axis(pair_c, sc_pos[:, :, None], axis=1)
-        pair2 = jnp.take_along_axis(pair2, sc_pos[:, None, :], axis=2)
+        pair2 = pairwise_dists(svec, snorm, metric,
+                               precision=jax.lax.Precision.DEFAULT)
         sel2 = heuristic_admit(sc_d, pair2, sc_valid, m_cap, keep_pruned)
     else:
         sel2 = sc_valid

@@ -31,15 +31,12 @@ def main():
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--sweep", default=(
-        # (deg_limit, ef, mi, expand, rerank_k)
-        "none,96,15,4,48;"
+        # (deg_limit, ef, mi, expand, rerank_k[, pipe])
         "none,96,15,4,32;"
-        "16,96,20,4,48;"
-        "16,96,24,4,48;"
-        "16,96,28,4,48;"
-        "16,128,24,4,48;"
-        "24,96,18,4,48;"
-        "16,96,12,8,48"
+        "none,96,15,4,32,p;"
+        "none,96,16,4,32,p;"
+        "none,96,17,4,32,p;"
+        "none,96,18,4,32,p"
     ))
     args = ap.parse_args()
 
@@ -76,7 +73,9 @@ def main():
     sync(packed.scale)
 
     for spec in args.sweep.split(";"):
-        dl_s, ef_s, mi_s, e_s, rk_s = spec.split(",")
+        parts = spec.split(",")
+        dl_s, ef_s, mi_s, e_s, rk_s = parts[:5]
+        pipe = len(parts) > 5 and parts[5].strip() == "p"
         dl = None if dl_s.strip() == "none" else int(dl_s)
         ef, mi, e, rk = int(ef_s), int(mi_s), int(e_s), int(rk_s)
 
@@ -84,11 +83,11 @@ def main():
             return knn_search_packed(
                 graph, packed, q, k=k, ef=ef, metric="l2", max_iters=mi,
                 expand=e, seeds=seeds, seed_e=8, rerank_k=rk,
-                deg_limit=dl)[0]
+                deg_limit=dl, pipeline=pipe)[0]
         ids = run(queries)
         r = recall_of(np.asarray(ids), gt)
         qps = measure_qps(run, queries, batch=b)
-        print(f"[qlab] dl={dl} ef={ef} mi={mi} e={e} rk={rk}: "
+        print(f"[qlab] dl={dl} ef={ef} mi={mi} e={e} rk={rk} p={int(pipe)}: "
               f"recall={r:.4f} qps={qps:.0f}", flush=True)
 
 
