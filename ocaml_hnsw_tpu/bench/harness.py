@@ -278,7 +278,7 @@ def run_config(
     # first two rows bracket the measured 0.95 crossing on 1M x 128 l2
     # (mi=14 -> 0.9446 @ 64.6k QPS, mi=15 -> 0.9517 @ 61.4k); the tail is
     # the safety ladder for harder datasets.
-    packed_sweep=((96, 14, 48), (96, 15, 48), (96, 16, 48), (96, 18, 48),
+    packed_sweep=((96, 14, 32), (96, 15, 32), (96, 16, 32), (96, 18, 48),
                   (96, 21, 64), (128, 32, 64), (256, None, 128)),
     rerank_sweep=(32, 64, 128),
     target_recall: float = 0.95,

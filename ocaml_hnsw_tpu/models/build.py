@@ -47,6 +47,15 @@ from ocaml_hnsw_tpu.ops.distance import (
 from ocaml_hnsw_tpu.ops.quantize import quantize_rows
 from ocaml_hnsw_tpu.utils import round_up
 
+#: reverse-edge scatter: cap on the column-major ranking block's row count.
+#: The per-column loop is latency-bound, not compute-bound, AND the big
+#: dcomb work only stops hiding under it once it shrinks — apply_edges
+#: groups as many adjacency columns per serial step as fit this block
+#: (measured at 1M/R=2048: g=1 gather 96 ms -> g=16 stored-dists 55 ms,
+#: scripts/profile_apply.py).  32k keeps the [R·G, R·G] boolean ranking
+#: block ~1 GB of fused VPU work; divisor-of-M fallback below.
+REV_BLOCK_ROWS = 32768
+
 
 def upper_round_width(r: int, m: int, level: int) -> int:
     """Static row capacity for the packed upper-level connect stage.
@@ -93,18 +102,27 @@ def heuristic_admit(cand_d, pair_d, valid, m: int, keep_pruned: bool,
     """Vectorized SELECT-NEIGHBORS-HEURISTIC admit loop.
 
     cand_d: f32[B, K] distances to the query point, **sorted ascending**.
-    pair_d: f32[B, K, K] pairwise distances among candidates.
+    pair_d: f32[B, Ke, Ke] pairwise distances among the first Ke candidates
+    (Ke = K, or the scan_limit prefix — only admission-eligible candidates
+    need pairwise distances, so callers with a scan_limit may pass the
+    narrowed matrix and skip gathering the rest).
     Admit candidate j iff it is strictly closer to the query than to every
-    already-admitted candidate (exactly the oracle's sequential order, run as
-    a fixed-length scan).  Returns the admit mask bool[B, K].
+    already-admitted candidate, in the oracle's sequential candidate order
+    (a fixed-length scan over the eligible prefix).  Returns bool[B, K].
 
-    scan_limit caps the sequential scan depth (the loop is the only serial
-    part of selection): candidates beyond that rank are never admitted.
-    Admissions deeper than ~4M are rare, so a generous cap trades a hair of
-    diversity for wall-clock — quality-checked by the build benchmarks.
+    The scan's per-step work is a contiguous pair_d row slice + masked min —
+    measured 3.5-3.7 ms at both hot shapes.  A winner-at-a-time variant
+    (m steps, one pair_d *column* gather each) measured 4.2-55.7 ms at the
+    same shapes (scripts/admit_bench.py): take_along_axis column gathers
+    from the [B,K,K] tensor are far slower than K cheap fused steps.
+
+    scan_limit caps the candidate rank eligible for admission (candidates
+    beyond that rank are never admitted); the keep_pruned backfill still
+    sees all K candidates.
     """
     b, k = cand_d.shape
-    depth = k if scan_limit is None else min(k, scan_limit)
+    ke = pair_d.shape[1]  # admission-eligible prefix (pairwise width)
+    depth = ke if scan_limit is None else min(ke, scan_limit)
 
     def body(j, state):
         sel, cnt = state
@@ -120,8 +138,10 @@ def heuristic_admit(cand_d, pair_d, valid, m: int, keep_pruned: bool,
 
     sel, cnt = jax.lax.fori_loop(
         0, depth, body,
-        (jnp.zeros((b, k), jnp.bool_), jnp.zeros((b,), jnp.int32)),
+        (jnp.zeros((b, ke), jnp.bool_), jnp.zeros((b,), jnp.int32)),
     )
+    if ke < k:
+        sel = jnp.pad(sel, ((0, 0), (0, k - ke)))
     if keep_pruned:  # Alg 4 keepPrunedConnections: backfill nearest rejected
         free = m - cnt
         rej = valid & ~sel
@@ -168,9 +188,15 @@ def select_neighbors(vectors, scales, norms, w_ids, w_d, m: int, metric: str,
     valid = w_ids >= 0
     if not heuristic:  # Alg 3: the beam is distance-ascending already
         return compact_by_mask(w_ids, w_d, valid, m)
-    safe = jnp.maximum(w_ids, 0)
-    cvec = gather_dequant(vectors, scales, w_ids)
-    cnorm = norms[safe]
+    k = w_ids.shape[1]
+    ke = k if scan_limit is None else min(k, scan_limit)
+    # only the first `ke` candidates are admission-eligible, so only they
+    # need vectors + pairwise distances (the keep_pruned backfill uses w_d
+    # alone) — at scan_limit=64 of K=200 this is 3x fewer gathered rows and
+    # ~10x less pairwise work
+    ids_e = w_ids[:, :ke]
+    cvec = gather_dequant(vectors, scales, ids_e)
+    cnorm = norms[jnp.maximum(ids_e, 0)]
     pair = pairwise_dists(cvec, cnorm, metric)
     sel = heuristic_admit(w_d, pair, valid, m, keep_pruned,
                           scan_limit=scan_limit)
@@ -218,6 +244,7 @@ def apply_edges(
     metric: str,
     keep_pruned: bool,
     heuristic: bool = True,
+    pack_dist=None,  # f32[N_rows, m_cap] stored d(node, neighbor) per slot
 ):
     """Forward + reverse edge application with deterministic conflict handling.
 
@@ -233,6 +260,15 @@ def apply_edges(
     scatter bookkeeping (slot counters, rev buffers) is indexed by *row*, and
     the tables' last row is the reserved all--1 scatter sink.  Returns the
     updated table (the caller re-wraps views).
+
+    pack_dist (packed builds only): the payload's per-slot exact distances
+    (models/packed.py PackedGraph.dist), kept in sync with the table by
+    refresh_payload_rows after every round.  When given, the affected rows'
+    old distances are READ from it and the new reverse-edge distances are
+    carried through the slot scatter (d(e,p) = sel_d, symmetric metrics) —
+    replacing the ~R·M·(m_cap+rev_cap) vector-row re-gather that dominated
+    the round's edge-update cost (31 ms of a 342 ms round at 1M,
+    scripts/profile_stages.py).
     """
     r, m = sel_ids.shape
     is_view = isinstance(adj, UpperView)
@@ -262,29 +298,46 @@ def apply_edges(
     pair_valid = mask[:, None] & (sel_ids >= 0)
     e_rows = rows_of(sel_ids, pair_valid)  # [R, M], sink on invalid
     e_ids = jnp.where(pair_valid, sel_ids, -1)
-    tri = jnp.arange(r)[None, :] < jnp.arange(r)[:, None]
 
-    def rev_col(j, carry):  # one traced body (columns were Python-unrolled)
-        cnt, rev = carry
-        e_row = jax.lax.dynamic_slice_in_dim(e_rows, j, 1, axis=1)[:, 0]
-        live = e_row != sink
-        base = cnt[e_row]
-        # rank among duplicates of the same target within this column
-        same = (e_row[None, :] == e_row[:, None]) & live[:, None]
-        dup_rank = jnp.sum(same & tri, axis=1)
+    carry_d = pack_dist is not None
+    # columns per scatter step: the per-column loop is latency-bound (16
+    # steps of ~12M VPU ops measured 1.8 ms each), so G columns are
+    # flattened column-major and ranked with one [R·G, R·G] block — same
+    # positions, fewer serial steps
+    g = max(1, min(m, REV_BLOCK_ROWS // max(r, 1)))
+    while m % g:
+        g -= 1
+    cg = r * g
+    p_ids_g = jnp.tile(p_ids, g)
+    tri_g = jnp.arange(cg)[None, :] < jnp.arange(cg)[:, None]
+
+    def rev_blk(jb, carry):  # one traced body (columns were Python-unrolled)
+        cnt, rev, rev_d = carry
+        blk = jax.lax.dynamic_slice_in_dim(e_rows, jb * g, g, axis=1)
+        er = blk.T.reshape(-1)  # column-major: matches per-column order
+        live = er != sink
+        base = cnt[er]
+        # rank among duplicates of the same target within this block
+        same = (er[None, :] == er[:, None]) & live[:, None]
+        dup_rank = jnp.sum(same & tri_g, axis=1)
         pos = base + dup_rank
         keep = live & (pos < rev_cap)
-        rev = rev.at[
-            jnp.where(keep, e_row, sink), jnp.where(keep, pos, 0)
-        ].max(jnp.where(keep, p_ids, -1))
-        cnt = cnt.at[e_row].add(live.astype(jnp.int32))
-        return cnt, rev
+        srow = jnp.where(keep, er, sink)
+        spos = jnp.where(keep, pos, 0)
+        rev = rev.at[srow, spos].max(jnp.where(keep, p_ids_g, -1))
+        if carry_d:  # d(e ← p) = d(p → e) = sel_d (metrics are symmetric)
+            d_blk = jax.lax.dynamic_slice_in_dim(sel_d, jb * g, g, axis=1)
+            d_col = d_blk.T.reshape(-1)
+            rev_d = rev_d.at[srow, spos].min(jnp.where(keep, d_col, INF))
+        cnt = cnt.at[er].add(live.astype(jnp.int32))
+        return cnt, rev, rev_d
 
-    cnt, rev = jax.lax.fori_loop(
-        0, m,
-        rev_col,
+    cnt, rev, rev_d = jax.lax.fori_loop(
+        0, m // g,
+        rev_blk,
         (jnp.zeros((n_rows,), jnp.int32),
-         jnp.full((n_rows, rev_cap), -1, jnp.int32)),
+         jnp.full((n_rows, rev_cap), -1, jnp.int32),
+         jnp.full((n_rows, rev_cap), INF) if carry_d else None),
     )
 
     # ---- affected target rows: the flattened pair targets themselves.
@@ -301,17 +354,24 @@ def apply_edges(
     cvalid = combined >= 0
     overflow = jnp.sum(cvalid, axis=1) > m_cap
 
-    # append path: old entries first, then the new ones, packed.
-    # (A one-gather variant that computed the pairwise matrix in combined
-    # order and permuted it to sorted order in-register measured +113 ms per
-    # 1M round — the [A, K2, K2] double take_along_axis costs far more than
-    # the re-gather it saved.  Two gathers is the measured-fast shape.)
-    evec = gather_dequant(vectors, scales, aff_ids[:, None])[:, 0, :]
-    enorm = norms[aff_ids]
-    dcomb = dists_to_ids(
-        vectors, scales, norms, evec, enorm,
-        jnp.where(cvalid, combined, -1), metric
-    )
+    if carry_d:
+        # stored distances: old slots from the payload's dist table (synced
+        # by refresh_payload_rows), new slots carried through the rev
+        # scatter — no vector re-gather at all
+        dcomb = jnp.concatenate([pack_dist[aff], rev_d[aff]], axis=1)
+        dcomb = jnp.where(cvalid, dcomb, INF)
+    else:
+        # append path: old entries first, then the new ones, packed.
+        # (A one-gather variant that computed the pairwise matrix in
+        # combined order and permuted it to sorted order in-register
+        # measured +113 ms per 1M round — the [A, K2, K2] double
+        # take_along_axis costs far more than the re-gather it saved.)
+        evec = gather_dequant(vectors, scales, aff_ids[:, None])[:, 0, :]
+        enorm = norms[aff_ids]
+        dcomb = dists_to_ids(
+            vectors, scales, norms, evec, enorm,
+            jnp.where(cvalid, combined, -1), metric
+        )
     app_ids, _ = compact_by_mask(combined, dcomb, cvalid, m_cap)
 
     # shrink path: re-prune over old ∪ new, sorted by distance — Alg 4
@@ -374,6 +434,7 @@ def insert_round(
     pack_pay=None,  # int8[N_cap·C, W] inline-neighbor payload (packed build)
     pack_meta=None,  # i32[N_cap, 2·deg] packed adjacency ids + int32 norms
     pack_scale=None,  # f32[] global quantization scale of the payload
+    pack_dist=None,  # f32[N_cap, deg] stored per-slot exact distances
     *,
     efc: int,
     m: int,
@@ -649,7 +710,8 @@ def insert_round(
         )
         from ocaml_hnsw_tpu.ops.sortmerge import bitonic_sort, next_pow2
 
-        pk = PackedGraph(pay=pack_pay, meta=pack_meta, scale=pack_scale)
+        pk = PackedGraph(pay=pack_pay, meta=pack_meta, scale=pack_scale,
+                         dist=pack_dist)
         q8 = quantize_queries(q, pack_scale)
         if pk.d_pad > q8.shape[1]:
             q8 = jnp.pad(q8, ((0, 0), (0, pk.d_pad - q8.shape[1])))
@@ -688,6 +750,7 @@ def insert_round(
         adj0, vectors, scales, norms, p_ids, sel_ids, sel_d, valid,
         m_max0, rev_cap, metric, keep_pruned,
         heuristic=heuristic,
+        pack_dist=pack_dist if use_packed else None,
     )
 
     if use_packed:
@@ -704,9 +767,9 @@ def insert_round(
         ).reshape(-1)
         pk = refresh_payload_rows(
             pk, vectors, scales, adj0,
-            jnp.concatenate([fwd_rows, rev_rows]),
+            jnp.concatenate([fwd_rows, rev_rows]), metric=metric,
         )
-        pack_pay, pack_meta = pk.pay, pk.meta
+        pack_pay, pack_meta, pack_dist = pk.pay, pk.meta, pk.dist
 
     # ---- entry point / max level (first-max ⇒ matches sequential ties)
     lv = jnp.where(valid, new_levels, -1)
@@ -732,7 +795,8 @@ def insert_round(
         l_max_static=graph.l_max_static,
     )
     if not use_seeds:
-        return out_graph, None, None, None, None, pack_pay, pack_meta
+        return (out_graph, None, None, None, None, pack_pay, pack_meta,
+                pack_dist)
 
     # ---- append this round's new upper nodes to the seed bank
     is_up = valid & (new_levels >= 1)
@@ -753,7 +817,7 @@ def insert_round(
         seed_vecs = seed_vecs.at[drop_slot].set(deq, mode="drop")
         seed_norms = seed_norms.at[drop_slot].set(norms_store, mode="drop")
     return (out_graph, seed_bank, seed_n, seed_vecs, seed_norms,
-            pack_pay, pack_meta)
+            pack_pay, pack_meta, pack_dist)
 
 
 # ------------------------------------------------------- scan round driver
@@ -780,7 +844,8 @@ _pick_round_jit = jax.jit(_pick_round, static_argnames=("rs",))
         "heuristic", "select_scan",
     ),
     donate_argnames=("graph", "seed_bank", "seed_n", "seed_vecs",
-                     "seed_norms", "pack_pay", "pack_meta"),
+                     "seed_norms", "pack_pay", "pack_meta",
+                     "pack_dist"),
 )
 def insert_rounds_scan(
     graph: GraphTensors,
@@ -789,7 +854,7 @@ def insert_rounds_scan(
     dones,  # i32[C] round offsets into data/levels
     counts,  # i32[C] live rows per round
     seed_bank, seed_n, seed_vecs, seed_norms,
-    pack_pay=None, pack_meta=None, pack_scale=None,
+    pack_pay=None, pack_meta=None, pack_scale=None, pack_dist=None,
     *,
     rs: int,
     efc: int, m: int, m_max0: int, rev_cap: int, metric: str,
@@ -816,10 +881,10 @@ def insert_rounds_scan(
             heuristic=heuristic, select_scan=select_scan,
         )
         if packed:
-            graph, bank, bn, bvec, bnrm, pay, meta = carry
+            graph, bank, bn, bvec, bnrm, pay, meta, pdist = carry
             out = insert_round(
                 graph, vecs, lv, graph.n, count, bank, bn, bvec, bnrm,
-                pay, meta, pack_scale, **kw,
+                pay, meta, pack_scale, pdist, **kw,
             )
             return out, None
         graph, bank, bn, bvec, bnrm = carry
@@ -830,15 +895,16 @@ def insert_rounds_scan(
 
     if packed:
         carry0 = (graph, seed_bank, seed_n, seed_vecs, seed_norms,
-                  pack_pay, pack_meta)
+                  pack_pay, pack_meta, pack_dist)
         (graph, seed_bank, seed_n, seed_vecs, seed_norms, pack_pay,
-         pack_meta), _ = jax.lax.scan(body, carry0, (dones, counts))
+         pack_meta, pack_dist), _ = jax.lax.scan(
+            body, carry0, (dones, counts))
     else:
         carry0 = (graph, seed_bank, seed_n, seed_vecs, seed_norms)
         (graph, seed_bank, seed_n, seed_vecs, seed_norms), _ = jax.lax.scan(
             body, carry0, (dones, counts))
     return (graph, seed_bank, seed_n, seed_vecs, seed_norms,
-            pack_pay, pack_meta)
+            pack_pay, pack_meta, pack_dist)
 
 
 # ---------------------------------------------------------------- bootstrap
@@ -902,9 +968,15 @@ class BuildState:
         self.host_n = 0
         # level-0 build-beam throughput knobs (see insert_round): candidate
         # compaction saved ~13% build time at 1M with zero measured recall
-        # cost, so it defaults on for wide candidate blocks; iteration caps
-        # measured recall-neutral but not faster, so build_mi stays None.
-        self.build_mi: int | None = None
+        # cost, so it defaults on for wide candidate blocks.  build_mi=48:
+        # the packed beam costs ~1.8 ms/iteration and the default cap
+        # (2·efc/expand = 100) runs ~75+ effective iterations; capping at 48
+        # measured end recall 0.9518 vs 0.9520 uncapped at the 1M headline
+        # operating point (scripts/build_mi_quality.py, round 3) for ~25%
+        # less round time.  select_scan stays None: capping the admit scan
+        # at 64 measured -0.004 recall — one extra query iteration to reach
+        # 0.95, a bad trade for ~8 ms/round.
+        self.build_mi: int | None = 48
         self.build_expand: int = 4
         self.select_scan: int | None = None
         self.build_ck: int | None = (
@@ -917,6 +989,7 @@ class BuildState:
         self.pack_pay = None
         self.pack_meta = None
         self.pack_scale = None
+        self.pack_dist = None
         self._packed_build: bool | None = None
 
     def adopt_graph(self, graph: GraphTensors) -> None:
@@ -929,6 +1002,7 @@ class BuildState:
         # drop any packed-build payload: it mirrors the OLD adjacency.  The
         # next add() re-decides and (re)packs from the adopted graph.
         self.pack_pay = self.pack_meta = self.pack_scale = None
+        self.pack_dist = None
         self._packed_build = None
         lv = np.asarray(graph.levels)
         n = int(graph.n)
@@ -998,9 +1072,10 @@ class BuildState:
                 mx = float(jnp.max(jnp.abs(data)))
                 if mx > float(self.pack_scale) * 127.0:
                     pk = pack_graph(self.graph, self.config.metric,
-                                    scale=mx / 127.0)
+                                    scale=mx / 127.0, with_dist=True)
                     self.pack_pay, self.pack_meta = pk.pay, pk.meta
                     self.pack_scale = pk.scale
+                    self.pack_dist = pk.dist
             return
         cfg = self.config
         g = self.graph
@@ -1016,12 +1091,13 @@ class BuildState:
             scale = jnp.maximum(jnp.max(jnp.abs(data)) / 127.0, 1e-30)
             pk = empty_packed(g.n_cap, deg, cfg.dim, scale)
         else:  # adopted/loaded graph: pack what exists
-            pk = pack_graph(g, cfg.metric)
+            pk = pack_graph(g, cfg.metric, with_dist=True)
             mx = float(jnp.max(jnp.abs(data))) / 127.0
             if mx > float(pk.scale):  # range must cover this batch too
-                pk = pack_graph(g, cfg.metric, scale=mx)
+                pk = pack_graph(g, cfg.metric, scale=mx, with_dist=True)
         self.pack_pay, self.pack_meta = pk.pay, pk.meta
         self.pack_scale = pk.scale
+        self.pack_dist = pk.dist
 
     def packed_graph(self):
         """The live build-maintained payload as a PackedGraph (or None) —
@@ -1031,7 +1107,7 @@ class BuildState:
         from ocaml_hnsw_tpu.models.packed import PackedGraph
 
         return PackedGraph(pay=self.pack_pay, meta=self.pack_meta,
-                           scale=self.pack_scale)
+                           scale=self.pack_scale, dist=self.pack_dist)
 
     def _round_kwargs(self) -> dict:
         cfg = self.config
@@ -1128,14 +1204,14 @@ class BuildState:
             if len(rounds) - i >= self.SCAN_CHUNK:
                 chunk = rounds[i : i + self.SCAN_CHUNK]
                 (self.graph, self.seed_bank, self.seed_n, self.seed_vecs,
-                 self.seed_norms, self.pack_pay,
-                 self.pack_meta) = insert_rounds_scan(
+                 self.seed_norms, self.pack_pay, self.pack_meta,
+                 self.pack_dist) = insert_rounds_scan(
                     self.graph, data, levels_dev,
                     jnp.asarray(np.array([d for d, _ in chunk], np.int32)),
                     jnp.asarray(np.array([c for _, c in chunk], np.int32)),
                     self.seed_bank, self.seed_n, self.seed_vecs,
                     self.seed_norms, self.pack_pay, self.pack_meta,
-                    self.pack_scale, rs=rs, **kw,
+                    self.pack_scale, self.pack_dist, rs=rs, **kw,
                 )
                 i += self.SCAN_CHUNK
             else:
@@ -1144,12 +1220,12 @@ class BuildState:
                     data, levels_dev, jnp.int32(d), jnp.int32(count), rs=rs
                 )
                 (self.graph, self.seed_bank, self.seed_n, self.seed_vecs,
-                 self.seed_norms, self.pack_pay,
-                 self.pack_meta) = insert_round(
+                 self.seed_norms, self.pack_pay, self.pack_meta,
+                 self.pack_dist) = insert_round(
                     self.graph, vecs, lvls, self.graph.n, jnp.int32(count),
                     self.seed_bank, self.seed_n, self.seed_vecs,
                     self.seed_norms, self.pack_pay, self.pack_meta,
-                    self.pack_scale, **kw,
+                    self.pack_scale, self.pack_dist, **kw,
                 )
                 i += 1
         if rounds:

@@ -69,11 +69,18 @@ class PackedGraph(NamedTuple):
     meta:  int32[N_cap, 2·deg]  [adjacency ids | int32 norms ‖x8‖²]; ids are
                               -1 sentinels exactly like GraphTensors.adj0
     scale: f32[]              the global quantization scale s
+    dist:  f32[N_cap, deg]    OPTIONAL (build-maintained packs only):
+                              exact f32 d(node, neighbor) per adjacency slot,
+                              +inf on empty slots — lets apply_edges read the
+                              over-full-row distances instead of re-gathering
+                              ~R·M·(m_cap+rev_cap) vector rows per round.
+                              Query-only packs leave it None.
     """
 
     pay: jnp.ndarray
     meta: jnp.ndarray
     scale: jnp.ndarray
+    dist: jnp.ndarray | None = None
 
     @property
     def deg(self) -> int:
@@ -107,16 +114,36 @@ def pack_d_pad(dim: int) -> int:
     return round_up(dim, 128)
 
 
-@partial(jax.jit, static_argnames=("d_pad", "w", "slab"))
-def _pack_rounds(vectors, scales, adj0, inv_s, d_pad: int, w: int, slab: int):
+def _int8_sqnorm(y):
+    """Exact ‖y‖² of int8 rows as int32, computed on the f32 VPU path.
+
+    Products ≤ 127² = 16129 and sums ≤ D·16129 are exactly representable in
+    f32 up to D = 1039 (< 2²⁴), so the f32 multiply-reduce is bit-exact
+    there — and the lane-dimension *integer* reduce it replaces is the
+    measured-slow path on the VPU (module docstring).  Falls back to int32
+    arithmetic for wider rows."""
+    if y.shape[-1] <= 1024:
+        yf = y.astype(jnp.float32)
+        return jnp.sum(yf * yf, axis=-1).astype(jnp.int32)
+    yi = y.astype(jnp.int32)
+    return jnp.sum(yi * yi, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("d_pad", "w", "slab", "metric",
+                                   "with_dist"))
+def _pack_rounds(vectors, scales, adj0, inv_s, d_pad: int, w: int, slab: int,
+                 metric: str = "l2", with_dist: bool = False):
+    from ocaml_hnsw_tpu.ops.metrics import get_metric
+
     n_cap, deg = adj0.shape
     d = vectors.shape[1]
     c = (deg * d_pad) // w
     pay = jnp.zeros((n_cap * c, w), jnp.int8)
     meta = jnp.zeros((n_cap, 2 * deg), jnp.int32)
+    dist = jnp.full((n_cap, deg), INF) if with_dist else None
 
     def body(i, carry):
-        pay, meta = carry
+        pay, meta, dist = carry
         start = i * slab
         a = jax.lax.dynamic_slice_in_dim(adj0, start, slab)  # [S, deg]
         safe = jnp.maximum(a, 0)
@@ -124,8 +151,16 @@ def _pack_rounds(vectors, scales, adj0, inv_s, d_pad: int, w: int, slab: int):
         if vectors.dtype == jnp.int8:
             rows = rows * scales[safe][:, :, None]
         y = jnp.clip(jnp.round(rows * inv_s), -127, 127).astype(jnp.int8)
-        yi = y.astype(jnp.int32)
-        nrm = jnp.sum(yi * yi, axis=-1)  # [S, deg] int32, exact
+        nrm = _int8_sqnorm(y)  # [S, deg] int32, exact
+        if with_dist:
+            own = jax.lax.dynamic_slice_in_dim(vectors, start, slab)
+            own = own.astype(jnp.float32)
+            if vectors.dtype == jnp.int8:
+                own = own * jax.lax.dynamic_slice_in_dim(
+                    scales, start, slab)[:, None]
+            dd = get_metric(metric).pair_dist(rows, own)  # [S, deg]
+            dd = jnp.where(a < 0, INF, dd)
+            dist = jax.lax.dynamic_update_slice_in_dim(dist, dd, start, 0)
         if d_pad > d:
             y = jnp.pad(y, ((0, 0), (0, 0), (0, d_pad - d)))
         pay = jax.lax.dynamic_update_slice_in_dim(
@@ -134,13 +169,13 @@ def _pack_rounds(vectors, scales, adj0, inv_s, d_pad: int, w: int, slab: int):
         meta = jax.lax.dynamic_update_slice_in_dim(
             meta, jnp.concatenate([a, nrm], axis=1), start, 0
         )
-        return pay, meta
+        return pay, meta, dist
 
-    return jax.lax.fori_loop(0, n_cap // slab, body, (pay, meta))
+    return jax.lax.fori_loop(0, n_cap // slab, body, (pay, meta, dist))
 
 
 def pack_graph(graph: GraphTensors, metric: str,
-               scale=None) -> PackedGraph:
+               scale=None, with_dist: bool = False) -> PackedGraph:
     """Build the inline-neighbor payload from a (re)built graph.
 
     One pass over adjacency in HBM-friendly slabs; the global scale is the
@@ -172,11 +207,12 @@ def pack_graph(graph: GraphTensors, metric: str,
         s = jnp.maximum(vmax / 127.0, 1e-30)
     else:
         s = jnp.maximum(jnp.asarray(scale, jnp.float32), 1e-30)
-    pay, meta = _pack_rounds(
+    pay, meta, dist = _pack_rounds(
         graph.vectors, graph.scales, graph.adj0, 1.0 / s,
-        d_pad=d_pad, w=w, slab=slab,
+        d_pad=d_pad, w=w, slab=slab, metric=metric, with_dist=with_dist,
     )
-    return PackedGraph(pay=pay, meta=meta, scale=s.astype(jnp.float32))
+    return PackedGraph(pay=pay, meta=meta, scale=s.astype(jnp.float32),
+                       dist=dist)
 
 
 def quantize_queries(q, scale):
@@ -193,7 +229,9 @@ def quantize_queries(q, scale):
 # adjacency changed (~15 ms) instead of re-packing the graph (~10 s at 1M).
 
 def empty_packed(n_cap: int, deg: int, dim: int, scale) -> PackedGraph:
-    """All-sentinel payload for an empty graph (meta ids -1, zero norms)."""
+    """All-sentinel payload for an empty graph (meta ids -1, zero norms,
+    dists +inf).  Build-maintained packs always carry `dist` (apply_edges
+    reads it instead of re-gathering over-full rows' vectors)."""
     d_pad = pack_d_pad(dim)
     w = _chunk_width(deg * d_pad)
     c = (deg * d_pad) // w
@@ -205,15 +243,19 @@ def empty_packed(n_cap: int, deg: int, dim: int, scale) -> PackedGraph:
         pay=jnp.zeros((n_cap * c, w), jnp.int8),
         meta=meta,
         scale=jnp.asarray(scale, jnp.float32),
+        dist=jnp.full((n_cap, deg), INF),
     )
 
 
-def refresh_payload_rows(packed: PackedGraph, vectors, scales, adj0, rows):
-    """Recompute pay/meta for the given node ids (i32[A], duplicates fine —
-    they all compute identical values; pass the sink row n_cap-1 for masked
-    slots, it recomputes to all-sentinel).  `vectors` must already contain
-    the current rows (insert_round scatters the round's vectors first)."""
+def refresh_payload_rows(packed: PackedGraph, vectors, scales, adj0, rows,
+                         metric: str = "l2"):
+    """Recompute pay/meta (and dist, when maintained) for the given node ids
+    (i32[A], duplicates fine — they all compute identical values; pass the
+    sink row n_cap-1 for masked slots, it recomputes to all-sentinel).
+    `vectors` must already contain the current rows (insert_round scatters
+    the round's vectors first)."""
     from ocaml_hnsw_tpu.ops.distance import gather_dequant
+    from ocaml_hnsw_tpu.ops.metrics import get_metric
 
     deg, c = packed.deg, packed.chunks
     d_pad = packed.d_pad
@@ -222,8 +264,7 @@ def refresh_payload_rows(packed: PackedGraph, vectors, scales, adj0, rows):
     v = gather_dequant(vectors, scales, safe)  # [A, deg, D] f32
     inv = 1.0 / packed.scale
     y = jnp.clip(jnp.round(v * inv), -127, 127).astype(jnp.int8)
-    yi = y.astype(jnp.int32)
-    nrm = jnp.sum(yi * yi, axis=-1)  # [A, deg] int32, exact
+    nrm = _int8_sqnorm(y)  # [A, deg] int32, exact
     d = v.shape[-1]
     if d_pad > d:
         y = jnp.pad(y, ((0, 0), (0, 0), (0, d_pad - d)))
@@ -232,7 +273,13 @@ def refresh_payload_rows(packed: PackedGraph, vectors, scales, adj0, rows):
            + jnp.arange(c, dtype=jnp.int32)[None, :]).reshape(-1)
     pay = packed.pay.at[cid].set(y.reshape(n_rows * c, packed.pay.shape[1]))
     meta = packed.meta.at[rows].set(jnp.concatenate([a, nrm], axis=1))
-    return packed._replace(pay=pay, meta=meta)
+    dist = packed.dist
+    if dist is not None:
+        own = gather_dequant(vectors, scales, rows[:, None])[:, 0]  # [A, D]
+        dd = get_metric(metric).pair_dist(v, own)  # [A, deg] exact f32
+        dd = jnp.where(a < 0, INF, dd)
+        dist = dist.at[rows].set(dd)
+    return packed._replace(pay=pay, meta=meta, dist=dist)
 
 
 def beam_search_layer_packed(

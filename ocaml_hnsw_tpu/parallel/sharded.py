@@ -134,7 +134,7 @@ def sharded_insert_round(
 
     def step(local_stacked, v, lv, st, ct, bank, bn, bvec, bnrm):
         g = _local(local_stacked)
-        g2, bank2, bn2, bvec2, bnrm2, _, _ = insert_round(
+        g2, bank2, bn2, bvec2, bnrm2, *_ = insert_round(
             g, v[0], lv[0], st[0], ct[0], bank[0], bn[0], bvec[0], bnrm[0],
             efc=efc, m=m, m_max0=m_max0, rev_cap=rev_cap, metric=metric,
             keep_pruned=keep_pruned, extend=extend, heuristic=heuristic,

@@ -35,7 +35,8 @@ def main():
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--round-size", type=int, default=2048)
-    ap.add_argument("--mi", default="none,40,32,24")
+    ap.add_argument("--mi", default="none,40,32,24",
+                help="comma list of mi[:select_scan] variants, e.g. 40:none,40:64")
     ap.add_argument("--queries", type=int, default=1000)
     args = ap.parse_args()
 
@@ -51,8 +52,14 @@ def main():
 
     n, dim, rs = args.n, args.dim, args.round_size
     k = 10
-    mis = [None if s.strip() == "none" else int(s)
-           for s in args.mi.split(",")]
+    def parse_one(s):
+        s = s.strip()
+        mi, _, ss = s.partition(":")
+        mi = None if mi in ("none", "") else int(mi)
+        ss = None if ss in ("none", "") else int(ss)
+        return mi, ss
+
+    mis = [parse_one(s) for s in args.mi.split(",")]
 
     print(f"[miq] dataset n={n} dim={dim}", flush=True)
     data, make_q = datasets.clustered_device(
@@ -62,15 +69,16 @@ def main():
     gt = device_ground_truth(flat, queries, k, "l2")
     del flat
 
-    for mi in mis:
+    for mi, ss in mis:
         cfg = HnswConfig(dim=dim, metric="l2", M=16, ef_construction=200)
         state = BuildState(cfg, n, round_size=rs)
         state.build_mi = mi
+        state.select_scan = ss
         t0 = time.perf_counter()
         state.add(data)
         sync(state.graph.n)
         dt = time.perf_counter() - t0
-        print(f"[miq] mi={mi}: built in {dt:.1f}s = {n/dt:.0f} vps",
+        print(f"[miq] mi={mi} ss={ss}: built in {dt:.1f}s = {n/dt:.0f} vps",
               flush=True)
         seeds = build_seed_index(state.graph, "l2")
         packed = pack_graph(state.graph, "l2")
@@ -86,7 +94,7 @@ def main():
                     state.graph, packed, q, k=k, ef=ef, metric="l2",
                     max_iters=qmi, seeds=seeds, seed_e=8, rerank_k=rk)[0],
                 queries, batch=8192)
-            print(f"[miq] mi={mi} query ef={ef} qmi={qmi}: "
+            print(f"[miq] mi={mi} ss={ss} query ef={ef} qmi={qmi}: "
                   f"recall={r:.4f} qps={qps:.0f}", flush=True)
             if r >= 0.95:
                 break

@@ -73,7 +73,7 @@ def main():
                 graph, q, lv, graph.n, jnp.int32(rs),
                 state.seed_bank, state.seed_n, state.seed_vecs,
                 state.seed_norms, state.pack_pay, state.pack_meta,
-                state.pack_scale, **k2,
+                state.pack_scale, state.pack_dist, **k2,
             )
             return out[0].n
         return f

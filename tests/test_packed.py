@@ -191,3 +191,60 @@ class TestApiWiring:
         assert idx._packed is None  # adjacency changed -> repack next query
         labels, _ = idx.knn_query(data[:50], k=1, ef=32)
         assert (labels[:, 0] == np.arange(50)).mean() >= 0.9
+
+
+class TestPackedBuildDist:
+    """The build-maintained per-slot distance table (PackedGraph.dist): sync
+    with recomputation, and apply_edges stored-dist path == gather path."""
+
+    @pytest.fixture(scope="class")
+    def packed_built(self, tmp_path_factory):
+        from ocaml_hnsw_tpu.models import build as B
+
+        old = B.BuildState.PACKED_BUILD_THRESHOLD
+        B.BuildState.PACKED_BUILD_THRESHOLD = 1  # force packed at tiny N
+        try:
+            rng = np.random.RandomState(0)
+            data = rng.randn(3000, 32).astype(np.float32)
+            cfg = HnswConfig(dim=32, metric="l2", M=8, ef_construction=48)
+            st = BuildState(cfg, 3500, round_size=256)
+            st.add(data[:2500])
+            yield data, cfg, st
+        finally:
+            B.BuildState.PACKED_BUILD_THRESHOLD = old
+
+    def test_dist_sync_invariant(self, packed_built):
+        # after a multi-round build, the maintained dist table equals a
+        # fresh recomputation from the final adjacency (bit-for-bit)
+        _, cfg, st = packed_built
+        assert st.pack_dist is not None
+        fresh = pack_graph(st.graph, "l2", with_dist=True)
+        a = np.asarray(st.pack_dist)
+        b = np.asarray(fresh.dist)
+        n = int(st.graph.n)
+        same = (a[:n] == b[:n]) | (np.isinf(a[:n]) & np.isinf(b[:n]))
+        assert same.all()
+
+    def test_stored_dist_apply_equals_gather_apply(self, packed_built):
+        # one insert_round on the same snapshot, with and without the
+        # stored-dist fast path, must produce identical tensors (f32
+        # storage: sel_d == recomputed pair distances exactly)
+        from ocaml_hnsw_tpu.models import build as B
+
+        data, cfg, st = packed_built
+        q = jnp.asarray(data[2500:2756])
+        lv = jnp.asarray(B.sample_levels(
+            np.random.RandomState(5), 256, cfg.mL, st.l_max))
+        kw = st._round_kwargs()
+        args = (st.graph, q, lv, st.graph.n, jnp.int32(256), st.seed_bank,
+                st.seed_n, st.seed_vecs, st.seed_norms, st.pack_pay,
+                st.pack_meta, st.pack_scale)
+        out_a = B.insert_round(*args, st.pack_dist, **kw)
+        out_b = B.insert_round(*args, None, **kw)
+        assert np.array_equal(np.asarray(out_a[0].adj0),
+                              np.asarray(out_b[0].adj0))
+        assert np.array_equal(np.asarray(out_a[0].adj_up),
+                              np.asarray(out_b[0].adj_up))
+        assert np.array_equal(np.asarray(out_a[5]), np.asarray(out_b[5]))
+        assert np.array_equal(np.asarray(out_a[6]), np.asarray(out_b[6]))
+        assert out_a[7] is not None and out_b[7] is None
