@@ -552,7 +552,9 @@ def insert_round(
             scores = get_metric(metric).pair_dist(bank_f32[None], q)
         live = jnp.arange(u_cap) < seed_n
         scores = jnp.where(live[None, :], scores, jnp.inf)
-        _, ii = jax.lax.approx_min_k(scores, seed_e)
+        # bf16 ranking (winners exactly re-scored below) — halves the
+        # score block's HBM traffic, the scan's dominant cost
+        _, ii = jax.lax.approx_min_k(scores.astype(jnp.bfloat16), seed_e)
         s_ids = jnp.where(live[ii], safe_bank[ii], -1)
         s_d = dists_to_ids(vectors, scales, norms, q, qn, s_ids, metric)
         have_seeds = seed_n > 0

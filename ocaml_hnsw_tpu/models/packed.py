@@ -57,7 +57,9 @@ from ocaml_hnsw_tpu.models.search import (
 )
 from ocaml_hnsw_tpu.ops.distance import dists_to_ids, query_norms, INF
 from ocaml_hnsw_tpu.ops.bitset import first_occurrence_mask
-from ocaml_hnsw_tpu.ops.sortmerge import merge_into_beam
+from ocaml_hnsw_tpu.ops.sortmerge import (
+    entries_to_beam, merge_into_beam, topk_ascending,
+)
 from ocaml_hnsw_tpu.utils import round_up
 
 
@@ -318,43 +320,43 @@ def beam_search_layer_packed(
         c = max(1, -(-deg_limit // per_chunk))  # ceil
         deg = min(deg, c * per_chunk)
     c_full = packed.chunks
-    e0 = entry_ids.shape[1]
     expand = max(1, min(expand, ef))
     s2 = packed.scale * packed.scale
 
     uniq = first_occurrence_mask(entry_ids) & (entry_ids >= 0)
     entry_ids = jnp.where(uniq, entry_ids, -1)
     entry_d = jnp.where(uniq, entry_d, INF)
-    pad = max(ef - e0, 0)
-    all_d = jnp.pad(entry_d, ((0, 0), (0, pad)), constant_values=jnp.inf)
-    all_ids = jnp.pad(entry_ids, ((0, 0), (0, pad)), constant_values=-1)
-    neg, idx = jax.lax.top_k(-all_d, ef)
-    beam_d = -neg
-    beam_ids = jnp.take_along_axis(all_ids, idx, axis=1)
-    beam_exp = beam_ids < 0
+    beam_ids, beam_d = entries_to_beam(entry_ids, entry_d, ef)
+    # beam state packs (id, expanded) into ONE int32 — pk = 2·id + exp — so
+    # the bitonic merge carries a single payload lane instead of two (each
+    # compare-exchange stage does one fewer masked-select + permute over
+    # [B, 2·p2]; measured ~-0.9 ms/iter at the headline shape).  Sentinel
+    # id=-1 packs to -1 (= 2·(-1)+1: expanded), so `pk & 1` and `pk >> 1`
+    # (arithmetic shift) decode both fields with sign intact.
+    beam_pk = jnp.where(beam_ids < 0, -1, beam_ids * 2)
 
     def cond(state):
-        _, _, beam_exp, it = state
-        return jnp.any(~beam_exp) & (it < max_iters)
+        beam_pk, _, it = state
+        return jnp.any((beam_pk & 1) == 0) & (it < max_iters)
 
     q16 = q8.astype(jnp.bfloat16)
 
     def body(state):
-        beam_ids, beam_d, beam_exp, it = state
+        beam_pk, beam_d, it = state
         # E nearest unexpanded beam members (beam sorted ⇒ cumsum mask).
         # (A vmapped-searchsorted variant of this selection measured 2.2
         # ms/iter SLOWER — the one-hot/argmax form is the fast one.)
-        unexp = ~beam_exp
+        unexp = (beam_pk & 1) == 0
         slot = jnp.cumsum(unexp.astype(jnp.int32), axis=1)
         sel_mask = unexp & (slot <= expand)
-        beam_exp = beam_exp | sel_mask
+        beam_pk = jnp.where(sel_mask, beam_pk | 1, beam_pk)
         oh = sel_mask[:, None, :] & (
             slot[:, None, :] == jnp.arange(1, expand + 1)[None, :, None]
         )
         pos = jnp.argmax(oh, axis=2)
         active = jnp.any(oh, axis=2)
         nodes = jnp.where(
-            active, jnp.take_along_axis(beam_ids, pos, axis=1), -1
+            active, jnp.take_along_axis(beam_pk, pos, axis=1) >> 1, -1
         )  # [B, E]
         safe = jnp.maximum(nodes, 0)
         # meta row: neighbor ids + their int32 norms, one thin gather
@@ -383,149 +385,38 @@ def beam_search_layer_packed(
         cand_ids = nbrs.reshape(b, -1)
         cand_d = d.reshape(b, -1)
         in_beam = jnp.any(
-            cand_ids[:, :, None] == beam_ids[:, None, :], axis=2
+            cand_ids[:, :, None] == (beam_pk >> 1)[:, None, :], axis=2
         )
         fresh = (cand_ids >= 0) & ~in_beam & first_occurrence_mask(cand_ids)
-        cand_ids = jnp.where(fresh, cand_ids, -1)
+        cand_pk = jnp.where(fresh, cand_ids * 2, -1)  # enter unexpanded
         cand_d = jnp.where(fresh, cand_d, INF)
-        beam_d, (beam_ids, beam_exp) = merge_into_beam(
-            beam_d,
-            [(beam_ids, -1), (beam_exp, True)],
-            cand_d,
-            [(cand_ids, -1), (cand_ids < 0, True)],
-            ef,
+        beam_d, (beam_pk,) = merge_into_beam(
+            beam_d, [(beam_pk, -1)], cand_d, [(cand_pk, -1)], ef,
         )
-        return beam_ids, beam_d, beam_exp, it + 1
+        return beam_pk, beam_d, it + 1
 
-    beam_ids, beam_d, beam_exp, iters = jax.lax.while_loop(
-        cond, body, (beam_ids, beam_d, beam_exp, jnp.int32(0))
+    beam_pk, beam_d, iters = jax.lax.while_loop(
+        cond, body, (beam_pk, beam_d, jnp.int32(0))
     )
-    return beam_ids, beam_d, iters
+    return beam_pk >> 1, beam_d, iters
 
 
-def beam_search_layer_packed_pipelined(
-    packed: PackedGraph,
-    q8,  # int8[B, D_pad]
-    qn,  # f32[B]
-    entry_ids,  # i32[B, E0]
-    entry_d,  # f32[B, E0]
-    ef: int,
-    needs_norms: bool,
-    max_iters: int,
-    expand: int = 4,
-):
-    """Software-pipelined variant of the packed beam loop: iteration t
-    selects and GATHERS the expansion block for iteration t+1 *before*
-    merging iteration t's candidates, so the payload fetch (HBM DMA) is
-    independent of the bitonic merge (VPU) inside one loop body and the
-    scheduler can overlap them.
-
-    Semantics deviation from the strict loop: the expansion choice lags one
-    merge — nodes picked at iteration t come from the beam state before
-    iteration t's candidates landed (a 1-iteration-stale best-first order).
-    At equal quality this costs ~1 extra iteration; the per-iteration
-    latency win is what's being bought.  Trajectory therefore differs from
-    beam_search_layer_packed; recall/QPS crossings are measured, not
-    assumed (scripts/qlab.py)."""
-    b = q8.shape[0]
-    deg, c, w = packed.deg, packed.chunks, packed.pay.shape[1]
-    d_pad = packed.d_pad
-    e0 = entry_ids.shape[1]
-    expand = max(1, min(expand, ef))
-    s2 = packed.scale * packed.scale
-    q16 = q8.astype(jnp.bfloat16)
-
-    uniq = first_occurrence_mask(entry_ids) & (entry_ids >= 0)
-    entry_ids = jnp.where(uniq, entry_ids, -1)
-    entry_d = jnp.where(uniq, entry_d, INF)
-    pad = max(ef - e0, 0)
-    all_d = jnp.pad(entry_d, ((0, 0), (0, pad)), constant_values=jnp.inf)
-    all_ids = jnp.pad(entry_ids, ((0, 0), (0, pad)), constant_values=-1)
-    neg, idx = jax.lax.top_k(-all_d, ef)
-    beam_d = -neg
-    beam_ids = jnp.take_along_axis(all_ids, idx, axis=1)
-    beam_exp = beam_ids < 0
-
-    def select_and_gather(beam_ids, beam_d, beam_exp):
-        """Pick the E nearest unexpanded beam members, mark them expanded,
-        and gather their meta + payload blocks."""
-        unexp = ~beam_exp
-        slot = jnp.cumsum(unexp.astype(jnp.int32), axis=1)
-        sel_mask = unexp & (slot <= expand)
-        beam_exp = beam_exp | sel_mask
-        oh = sel_mask[:, None, :] & (
-            slot[:, None, :] == jnp.arange(1, expand + 1)[None, :, None]
-        )
-        pos = jnp.argmax(oh, axis=2)
-        active = jnp.any(oh, axis=2)
-        nodes = jnp.where(
-            active, jnp.take_along_axis(beam_ids, pos, axis=1), -1
-        )
-        safe = jnp.maximum(nodes, 0)
-        mrow = packed.meta[safe]  # [B, E, 2·deg]
-        cid = (safe[:, :, None] * c
-               + jnp.arange(c, dtype=jnp.int32)[None, None, :]).reshape(b, -1)
-        praw = packed.pay[cid]  # [B, E·c, w]
-        return beam_exp, nodes, mrow, praw
-
-    # prologue: gather block 0 from the entry beam
-    beam_exp, nodes, mrow, praw = select_and_gather(beam_ids, beam_d, beam_exp)
-
-    def cond(state):
-        beam_ids, beam_d, beam_exp, nodes, mrow, praw, it = state
-        # one trailing iteration still has a gathered block to score even
-        # after the beam is fully expanded
-        return (jnp.any(~beam_exp) | jnp.any(nodes >= 0)) & (it < max_iters)
-
-    def body(state):
-        beam_ids, beam_d, beam_exp, nodes, mrow, praw, it = state
-        # 1. score the prefetched block (independent of this body's gather)
-        nbrs = jnp.where((nodes >= 0)[:, :, None], mrow[:, :, :deg], -1)
-        nrm = mrow[:, :, deg:].astype(jnp.float32)
-        vec8 = praw.reshape(b, expand, deg, d_pad)
-        dot = jnp.sum(
-            vec8.astype(jnp.bfloat16) * q16[:, None, None, :],
-            axis=-1, dtype=jnp.float32,
-        )
-        if needs_norms:
-            d = s2 * (nrm - 2.0 * dot) + qn[:, None, None]
-        else:
-            d = 1.0 - s2 * dot
-        cand_ids = nbrs.reshape(b, -1)
-        cand_d = d.reshape(b, -1)
-        # 2. select + gather the NEXT block from the pre-merge beam (stale
-        #    by one merge; independent of step 3 so the DMA can overlap it)
-        beam_exp2, nodes2, mrow2, praw2 = select_and_gather(
-            beam_ids, beam_d, beam_exp
-        )
-        # 3. dedup + merge this block's candidates
-        in_beam = jnp.any(
-            cand_ids[:, :, None] == beam_ids[:, None, :], axis=2
-        )
-        fresh = (cand_ids >= 0) & ~in_beam & first_occurrence_mask(cand_ids)
-        cand_ids = jnp.where(fresh, cand_ids, -1)
-        cand_d = jnp.where(fresh, cand_d, INF)
-        beam_d2, (beam_ids2, beam_exp2m) = merge_into_beam(
-            beam_d,
-            [(beam_ids, -1), (beam_exp2, True)],
-            cand_d,
-            [(cand_ids, -1), (cand_ids < 0, True)],
-            ef,
-        )
-        return (beam_ids2, beam_d2, beam_exp2m, nodes2, mrow2, praw2, it + 1)
-
-    beam_ids, beam_d, beam_exp, _, _, _, iters = jax.lax.while_loop(
-        cond, body, (beam_ids, beam_d, beam_exp, nodes, mrow, praw,
-                     jnp.int32(0))
-    )
-    return beam_ids, beam_d, iters
+# NOTE (round 3, measured): a software-pipelined variant of the packed beam
+# loop (select+gather for iteration t+1 issued before iteration t's merge, so
+# the payload DMA could overlap the VPU merge) was built and raced on v5e at
+# 1M: 64.0k QPS @ recall 0.9495 vs the plain loop's 67.3k @ 0.9510 at equal
+# knobs (ef=96, mi=15; scripts/qlab.py).  XLA:TPU schedules the gather and
+# the merge serially on the one TensorCore either way, so the restructuring
+# bought no overlap and the 1-merge-stale expansion order cost recall.
+# Deleted; true gather/compute overlap needs an in-kernel DMA pipeline
+# (ops/pallas/payload_score.py).
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "k", "ef", "metric", "max_iters", "expand", "seed_e", "rerank_k",
-        "deg_limit", "pipeline",
+        "deg_limit",
     ),
 )
 def knn_search_packed(
@@ -541,7 +432,6 @@ def knn_search_packed(
     seed_e: int = 16,
     rerank_k: int | None = None,
     deg_limit: int | None = None,
-    pipeline: bool = False,
 ):
     """Alg 5 on the packed engine: seed-scan (or greedy) entry, packed int8
     beam at layer 0, then an exact-f32 rerank of the top `rerank_k` beam
@@ -568,28 +458,21 @@ def knn_search_packed(
     q8 = quantize_queries(q, packed.scale)
     if d_pad > q8.shape[1]:
         q8 = jnp.pad(q8, ((0, 0), (0, d_pad - q8.shape[1])))
-    if pipeline:
-        ids, d, _ = beam_search_layer_packed_pipelined(
-            packed, q8, qn, entry_ids, entry_d, ef,
-            needs_norms=needs_norms, max_iters=max_iters, expand=expand,
-        )
-    else:
-        ids, d, _ = beam_search_layer_packed(
-            packed, q8, qn, entry_ids, entry_d, ef,
-            needs_norms=needs_norms, max_iters=max_iters, expand=expand,
-            deg_limit=deg_limit,
-        )
-    # tombstone filter on the approx beam, keep top rerank_k live candidates
+    ids, d, _ = beam_search_layer_packed(
+        packed, q8, qn, entry_ids, entry_d, ef,
+        needs_norms=needs_norms, max_iters=max_iters, expand=expand,
+        deg_limit=deg_limit,
+    )
+    # tombstone filter on the approx beam, keep top rerank_k live candidates.
+    # The beam arrives sorted; dead entries perturb that, so both selections
+    # are small bitonic sorts (lax.top_k has a multi-ms floor per call).
     dead = graph.deleted[jnp.maximum(ids, 0)] | (ids < 0)
     d = jnp.where(dead, INF, d)
-    neg, idx = jax.lax.top_k(-d, rerank_k)
-    top_ids = jnp.where(jnp.isinf(-neg), -1, jnp.take_along_axis(ids, idx, axis=1))
+    _, top_ids = topk_ascending(d, jnp.where(dead, -1, ids), rerank_k)
     # exact f32 rerank (one small gather) -> exact final ordering
     d_exact = dists_to_ids(
         graph.vectors, graph.scales, graph.norms, q, qn, top_ids, metric
     )
-    neg2, idx2 = jax.lax.top_k(-d_exact, k)
-    out_d = -neg2
-    out_ids = jnp.take_along_axis(top_ids, idx2, axis=1)
+    out_d, out_ids = topk_ascending(d_exact, top_ids, k)
     out_ids = jnp.where(jnp.isinf(out_d), -1, out_ids)
     return out_ids, out_d

@@ -55,7 +55,9 @@ from ocaml_hnsw_tpu.ops.bitset import (
     first_occurrence_mask,
     hash_ids,
 )
-from ocaml_hnsw_tpu.ops.sortmerge import merge_into_beam, bitonic_sort
+from ocaml_hnsw_tpu.ops.sortmerge import (
+    bitonic_sort, entries_to_beam, merge_into_beam, topk_ascending,
+)
 
 
 def _visit_idx(ids, visited_bits: int | None):
@@ -120,7 +122,6 @@ def beam_search_layer(
     drops are re-found through graph links on later iterations)."""
     b = q.shape[0]
     n_cap = vectors.shape[0]
-    e0 = entry_ids.shape[1]
     expand = max(1, min(expand, ef))
     # visited_bits=0: no global visited set — candidates dedup against the
     # current beam only (CAGRA-style).  Correct because the beam's worst
@@ -147,40 +148,36 @@ def beam_search_layer(
     if not beam_only:
         visited = bitset_set(visited, vidx, uniq)
 
-    # Initial beam = best ef of the (padded) entries.
-    pad = max(ef - e0, 0)
-    all_d = jnp.pad(entry_d, ((0, 0), (0, pad)), constant_values=jnp.inf)
-    all_ids = jnp.pad(entry_ids, ((0, 0), (0, pad)), constant_values=-1)
-    neg, idx = jax.lax.top_k(-all_d, ef)
-    beam_d = -neg
-    beam_ids = jnp.take_along_axis(all_ids, idx, axis=1)
-    beam_exp = beam_ids < 0  # sentinels count as already expanded
-
-    rows = jnp.arange(b)
+    # Initial beam = best ef of the entries (bitonic at the narrow entry
+    # width — lax.top_k has a multi-ms floor per call).  Beam state packs
+    # (id, expanded) into ONE int32 — pk = 2·id + exp; sentinel -1 decodes
+    # to (id=-1, expanded) — so the merge carries a single payload lane.
+    beam_ids, beam_d = entries_to_beam(entry_ids, entry_d, ef)
+    beam_pk = jnp.where(beam_ids < 0, -1, beam_ids * 2)
 
     def cond(state):
-        _, _, beam_exp, _, it = state
-        live = jnp.any(~beam_exp)
+        beam_pk, _, _, it = state
+        live = jnp.any((beam_pk & 1) == 0)
         if max_iters is not None:
             live &= it < max_iters
         return live
 
     def body(state):
-        beam_ids, beam_d, beam_exp, visited, it = state
+        beam_pk, beam_d, visited, it = state
         # 1. pop the E nearest unexpanded beam members per query.  The beam is
         #    kept sorted ascending, so "first E unexpanded" (a cumsum mask —
         #    no sort, no scatter) IS "E nearest unexpanded".
-        unexp = ~beam_exp
+        unexp = (beam_pk & 1) == 0
         slot = jnp.cumsum(unexp.astype(jnp.int32), axis=1)
         sel_mask = unexp & (slot <= expand)
-        beam_exp = beam_exp | sel_mask
+        beam_pk = jnp.where(sel_mask, beam_pk | 1, beam_pk)
         oh = sel_mask[:, None, :] & (
             slot[:, None, :] == jnp.arange(1, expand + 1)[None, :, None]
         )  # [B, E, ef] one-hot of the e-th selected position
         pos = jnp.argmax(oh, axis=2)
         active = jnp.any(oh, axis=2)
         nodes = jnp.where(
-            active, jnp.take_along_axis(beam_ids, pos, axis=1), -1
+            active, jnp.take_along_axis(beam_pk, pos, axis=1) >> 1, -1
         )  # [B, E]
         # 2. frontier expansion: adjacency gather
         nbrs = adj_take(adj, jnp.maximum(nodes, 0))  # [B, E, deg]
@@ -188,7 +185,7 @@ def beam_search_layer(
         # 3. visited filter + mark (dedup on visit index), or beam-only dedup
         if beam_only:
             in_beam = jnp.any(
-                nbrs[:, :, None] == beam_ids[:, None, :], axis=2
+                nbrs[:, :, None] == (beam_pk >> 1)[:, None, :], axis=2
             )
             fresh = (nbrs >= 0) & ~in_beam & first_occurrence_mask(nbrs)
         else:
@@ -214,19 +211,16 @@ def beam_search_layer(
         # 4. distance block (gather + exact VPU f32)
         cand_d = dists_to_ids(vectors, scales, norms, q, qn, cand_ids, metric)
         # 5. beam merge: bitonic network (top_k has a ms-scale floor per call)
-        beam_d, (beam_ids, beam_exp) = merge_into_beam(
-            beam_d,
-            [(beam_ids, -1), (beam_exp, True)],
-            cand_d,
-            [(cand_ids, -1), (cand_ids < 0, True)],
-            ef,
+        cand_pk = jnp.where(cand_ids < 0, -1, cand_ids * 2)
+        beam_d, (beam_pk,) = merge_into_beam(
+            beam_d, [(beam_pk, -1)], cand_d, [(cand_pk, -1)], ef,
         )
-        return beam_ids, beam_d, beam_exp, visited, it + 1
+        return beam_pk, beam_d, visited, it + 1
 
-    beam_ids, beam_d, beam_exp, visited, iters = jax.lax.while_loop(
-        cond, body, (beam_ids, beam_d, beam_exp, visited, jnp.int32(0))
+    beam_pk, beam_d, visited, iters = jax.lax.while_loop(
+        cond, body, (beam_pk, beam_d, visited, jnp.int32(0))
     )
-    return beam_ids, beam_d, iters
+    return beam_pk >> 1, beam_d, iters
 
 
 class SeedIndex(NamedTuple):
@@ -320,7 +314,11 @@ def seed_entries(graph: GraphTensors, seeds: SeedIndex, q, qn, e: int,
     )
     scores = mm(dot, seeds.norms[None, :])  # rank-equivalent (e.g. +‖q‖² dropped)
     scores = scores + seeds.bias[None, :]
-    _, ii = jax.lax.approx_min_k(scores, e)
+    # bf16 scores: the [B, U_cap] block is the scan's whole HBM cost (2.1 GB
+    # at 1M/B=8192 in f32 — ~7 ms measured); the downcast fuses into the
+    # matmul epilogue so approx_min_k reads half the bytes.  Ranking
+    # precision only — the E winners are exactly re-scored below.
+    _, ii = jax.lax.approx_min_k(scores.astype(jnp.bfloat16), e)
     live = jnp.take_along_axis(
         jnp.broadcast_to(seeds.bias[None, :] == 0.0, scores.shape), ii, axis=1
     )
@@ -439,11 +437,10 @@ def knn_search(
         visited_bits=visited_bits,
         compact_k=compact_k,
     )
-    # tombstone filter, then final top-k (beam is sorted but masking reorders)
+    # tombstone filter, then final top-k (beam is sorted but masking reorders;
+    # a small bitonic sort — top_k has a multi-ms floor per call)
     dead = graph.deleted[jnp.maximum(ids, 0)] | (ids < 0)
     d = jnp.where(dead, INF, d)
-    neg, idx = jax.lax.top_k(-d, k)
-    out_d = -neg
-    out_ids = jnp.take_along_axis(ids, idx, axis=1)
+    out_d, out_ids = topk_ascending(d, jnp.where(dead, -1, ids), k)
     out_ids = jnp.where(jnp.isinf(out_d), -1, out_ids)
     return out_ids, out_d

@@ -75,6 +75,45 @@ def bitonic_merge(d, payloads=()):
     return d, payloads
 
 
+def entries_to_beam(entry_ids, entry_d, ef: int):
+    """Initial beam from entry candidates: sort ascending at the entries'
+    own (power-of-two) width, then pad/truncate to ef.
+
+    Replaces `lax.top_k(-d, ef)` over the ef-padded entries — top_k has a
+    multi-millisecond floor per call on TPU while entry widths are tiny
+    (seed_e=8..32), so a 6-15 stage bitonic network at the narrow width wins.
+    Returns (beam_ids i32[B, ef], beam_d f32[B, ef]) ascending."""
+    e0 = entry_ids.shape[1]
+    p2 = next_pow2(e0)
+    if p2 > e0:
+        entry_d = jnp.pad(entry_d, ((0, 0), (0, p2 - e0)),
+                          constant_values=jnp.inf)
+        entry_ids = jnp.pad(entry_ids, ((0, 0), (0, p2 - e0)),
+                            constant_values=-1)
+    d_s, (ids_s,) = bitonic_sort(entry_d, [entry_ids], ascending=True)
+    if p2 >= ef:
+        return ids_s[:, :ef], d_s[:, :ef]
+    pad = ef - p2
+    return (
+        jnp.pad(ids_s, ((0, 0), (0, pad)), constant_values=-1),
+        jnp.pad(d_s, ((0, 0), (0, pad)), constant_values=jnp.inf),
+    )
+
+
+def topk_ascending(d, payload_ids, k: int):
+    """Smallest-k of f32[B, n] with an i32 payload, ascending — a bitonic
+    full sort at next_pow2(n), replacing `lax.top_k(-d, k)` (multi-ms floor
+    per call at these widths).  Returns (d f32[B, k], ids i32[B, k])."""
+    n = d.shape[-1]
+    p2 = next_pow2(n)
+    if p2 > n:
+        d = jnp.pad(d, ((0, 0), (0, p2 - n)), constant_values=jnp.inf)
+        payload_ids = jnp.pad(payload_ids, ((0, 0), (0, p2 - n)),
+                              constant_values=-1)
+    d_s, (ids_s,) = bitonic_sort(d, [payload_ids], ascending=True)
+    return d_s[:, :k], ids_s[:, :k]
+
+
 def merge_into_beam(beam_d, beam_payloads, cand_d, cand_payloads, ef: int):
     """Merge unsorted candidates into a sorted-ascending beam, keep best ef.
 

@@ -32,11 +32,16 @@ def main():
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--sweep", default=(
         # (deg_limit, ef, mi, expand, rerank_k[, pipe])
-        "none,96,15,4,32;"
-        "none,96,15,4,32,p;"
+        "none,96,15,4,32;"        # packed-payload baseline
+        "none,96,15,4,16;"        # cheaper rerank
+        "none,96,15,4,32,p;"      # pipelined ladder
         "none,96,16,4,32,p;"
         "none,96,17,4,32,p;"
-        "none,96,18,4,32,p"
+        "16,96,18,4,32;"          # deg_limit ladder
+        "16,96,20,4,32;"
+        "16,96,22,4,32;"
+        "16,96,20,4,32,p;"        # deg_limit + pipeline
+        "16,96,22,4,32,p"
     ))
     args = ap.parse_args()
 
