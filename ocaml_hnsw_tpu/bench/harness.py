@@ -318,6 +318,20 @@ def run_config(
 
     results = {}
 
+    # 10M-scale HBM plan: the f32 source (3.8 GB), the flat engine's
+    # scan+rerank rows (up to 2.9 GB) and the HNSW graph tensors cannot all
+    # sit alongside the insert rounds' workspace on one 16 GB chip (measured:
+    # ResourceExhausted in the first scan dispatch).  Free the flat engine
+    # for the duration of the build and halve the source to bf16 (the build
+    # casts each round's R-row slice back to f32 — only storage precision
+    # changes, and storage here is int8 anyway); the flat engine is rebuilt
+    # for its own sweep afterwards.
+    big = "hnsw" in engines and data.nbytes > (2 << 30)
+    if big:
+        log("10M-scale: freeing flat engine + bf16 build source during build")
+        flat = None
+        data = data.astype(jnp.bfloat16)
+
     if "hnsw" in engines:
         from ocaml_hnsw_tpu.models.search import build_seed_index
 
@@ -407,6 +421,11 @@ def run_config(
             "best": chosen or sweep[-1],
         }
 
+    if "flat" in engines and flat is None:
+        log("rebuilding flat engine (freed during the 10M hnsw build)")
+        flat = build_flat(data, metric, scan_dtype=scan_dtype,
+                          rerank_dtype=rerank_dtype)
+        np.asarray(flat.n)
     if "flat" in engines:
         log(f"flat engine (loaded above in {flat_build_s:.1f}s)")
         sweep = []

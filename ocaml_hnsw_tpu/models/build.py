@@ -245,6 +245,7 @@ def apply_edges(
     keep_pruned: bool,
     heuristic: bool = True,
     pack_dist=None,  # f32[N_rows, m_cap] stored d(node, neighbor) per slot
+    packed_ctx=None,  # (pay, meta, scale, q8, q8n, start) — see below
 ):
     """Forward + reverse edge application with deterministic conflict handling.
 
@@ -269,6 +270,22 @@ def apply_edges(
     replacing the ~R·M·(m_cap+rev_cap) vector-row re-gather that dominated
     the round's edge-update cost (31 ms of a 342 ms round at 1M,
     scripts/profile_stages.py).
+
+    packed_ctx (packed layer-0 builds only): (pay, meta, scale, q8, q8n,
+    start) — the live inline-int8 payload plus this round's quantized
+    queries.  Every int8 vector an affected row can end up holding is
+    already on device in int8: old slots live in the row's own payload
+    chunk, new reverse edges are this round's points (q8 row = id − start).
+    So the shrink heuristic's pairwise block is computed from the payload
+    (one fat-row gather, ~4 KB/row) instead of re-gathering ~A·K2 scattered
+    vector rows (measured 14.5 ms of a 59 ms apply at 1M), and the updated
+    payload rows come out as a by-product: the returned `packed_out =
+    (aff, new_ids, new_d, row_pay8, row_norms)` is exactly what
+    insert_round scatters into pay/meta/dist — replacing the 55 ms
+    refresh_payload_rows re-gather with a permutation (profile_stages.py,
+    round 3).  Quantized pair distances flip only near-tie diversity
+    decisions, same argument as the 1-pass-precision note below; the
+    beam/selection distances stay exact f32.
     """
     r, m = sel_ids.shape
     is_view = isinstance(adj, UpperView)
@@ -372,27 +389,74 @@ def apply_edges(
             vectors, scales, norms, evec, enorm,
             jnp.where(cvalid, combined, -1), metric
         )
-    app_ids, _ = compact_by_mask(combined, dcomb, cvalid, m_cap)
+    app_ids, app_d = compact_by_mask(combined, dcomb, cvalid, m_cap)
+
+    # int8 candidate block for the packed path: old slots from the row's own
+    # payload chunk (ONE fat-row gather), new slots from this round's q8
+    a_rows = aff.shape[0]
+    k2 = combined.shape[1]
+    if packed_ctx is not None:
+        from ocaml_hnsw_tpu.ops.metrics import get_metric
+
+        pay, pmeta, pscale, q8, q8n, start = packed_ctx
+        deg_full = pmeta.shape[1] // 2
+        c = pay.shape[0] // pmeta.shape[0]
+        d_pad = (pay.shape[1] * c) // deg_full
+        cid = (aff[:, None] * c
+               + jnp.arange(c, dtype=jnp.int32)[None, :]).reshape(-1)
+        old8 = pay[cid].reshape(a_rows, deg_full, d_pad)
+        old_n = pmeta[aff][:, deg_full:]  # int32 ‖x8‖² per old slot
+        q_rows = jnp.clip(new_ps - start, 0, q8.shape[0] - 1)
+        y8 = jnp.concatenate([old8, q8[q_rows]], axis=1)  # [A, K2, d_pad]
+        yn = jnp.concatenate([old_n, q8n[q_rows]], axis=1)  # int32[A, K2]
 
     # shrink path: re-prune over old ∪ new, sorted by distance — Alg 4
     # heuristic by default, plain nearest-m_cap under select="simple".
     # Distance sort as a bitonic network (XLA's variadic sort is serial-ish
-    # on TPU; the network is pure VPU compare-exchange).
+    # on TPU; the network is pure VPU compare-exchange).  The combined
+    # POSITION rides along as a second payload lane so the packed path can
+    # permute its int8 block (y8) into sorted order — permuting the vectors
+    # is one [A, K2, D] take_along_axis, not the [A, K2, K2] matrix permute
+    # the reverted one-gather variant paid for.
     from ocaml_hnsw_tpu.ops.sortmerge import bitonic_sort, next_pow2
 
-    k2 = combined.shape[1]
     p2 = next_pow2(k2)
     sd_in = jnp.where(cvalid, dcomb, INF)
     si_in = combined
+    pos_in = jnp.broadcast_to(
+        jnp.arange(k2, dtype=jnp.int32)[None, :], combined.shape
+    )
     if p2 > k2:
         sd_in = jnp.pad(sd_in, ((0, 0), (0, p2 - k2)),
                         constant_values=jnp.inf)
         si_in = jnp.pad(si_in, ((0, 0), (0, p2 - k2)), constant_values=-1)
-    sc_d, (sc_ids,) = bitonic_sort(sd_in, [si_in], ascending=True)
+        pos_in = jnp.pad(pos_in, ((0, 0), (0, p2 - k2)))
+    sc_d, (sc_ids, sc_pos) = bitonic_sort(sd_in, [si_in, pos_in],
+                                          ascending=True)
     sc_d = sc_d[:, :k2]
     sc_ids = sc_ids[:, :k2]
+    sc_pos = sc_pos[:, :k2]
     sc_valid = sc_ids >= 0
-    if heuristic:
+    if heuristic and packed_ctx is not None:
+        # pairwise block from the quantized vectors (no vector gather).
+        # s-grid noise flips only near-tie diversity decisions — same class
+        # of error as the 1-pass precision note below, measured end-recall
+        # neutral at the 1M headline build (scripts/blab.py, round 3).
+        y8s = jnp.take_along_axis(y8, sc_pos[:, :, None], axis=1)
+        yns = jnp.take_along_axis(yn, sc_pos, axis=1).astype(jnp.float32)
+        dot = jnp.einsum(
+            "akd,ajd->akj",
+            y8s.astype(jnp.bfloat16), y8s.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        s2 = (pscale * pscale).astype(jnp.float32)
+        if get_metric(metric).needs_norms:
+            pair2 = s2 * (yns[:, :, None] - 2.0 * dot + yns[:, None, :])
+            pair2 = jnp.maximum(pair2, 0.0)
+        else:
+            pair2 = 1.0 - s2 * dot
+        sel2 = heuristic_admit(sc_d, pair2, sc_valid, m_cap, keep_pruned)
+    elif heuristic:
         svec = gather_dequant(vectors, scales, sc_ids)
         snorm = norms[jnp.maximum(sc_ids, 0)]
         # shrink-only pruning: 1-pass MXU precision — ~0.4% error flips only
@@ -403,11 +467,26 @@ def apply_edges(
         sel2 = heuristic_admit(sc_d, pair2, sc_valid, m_cap, keep_pruned)
     else:
         sel2 = sc_valid
-    heur_ids, _ = compact_by_mask(sc_ids, sc_d, sel2, m_cap)
+    heur_ids, heur_d = compact_by_mask(sc_ids, sc_d, sel2, m_cap)
 
     new_rows = jnp.where(overflow[:, None], heur_ids, app_ids)
     # sink-row fill entries all compute the identical all--1 row → benign dups
-    return table.at[aff].set(new_rows)
+    table = table.at[aff].set(new_rows)
+    if packed_ctx is None:
+        return table
+
+    # packed payload by-product: each output slot's int8 vector/norm is a
+    # permutation of y8/yn (output ids are a subset of `combined`; valid ids
+    # are unique within a row, so the argmax position is exact).  Slots with
+    # id −1 keep whatever bytes the argmax picked — the query engine masks
+    # candidates by meta id, never by payload bytes — but their dist is INF
+    # (compact_by_mask) so the stored-dist invariant stays bit-exact.
+    new_d = jnp.where(overflow[:, None], heur_d, app_d)
+    eq = new_rows[:, :, None] == jnp.where(cvalid, combined, -2)[:, None, :]
+    src = jnp.argmax(eq, axis=2).astype(jnp.int32)  # [A, m_cap] pos in K2
+    row_pay8 = jnp.take_along_axis(y8, src[:, :, None], axis=1)
+    row_norms = jnp.take_along_axis(yn, src, axis=1)
+    return table, (aff, new_rows, new_d, row_pay8, row_norms)
 
 
 # ------------------------------------------------------------- insert round
@@ -748,30 +827,50 @@ def insert_round(
         vectors, scales, norms, c_ids, c_d, m, metric, keep_pruned,
         heuristic=heuristic, scan_limit=select_scan,
     )
-    adj0 = apply_edges(
-        adj0, vectors, scales, norms, p_ids, sel_ids, sel_d, valid,
-        m_max0, rev_cap, metric, keep_pruned,
-        heuristic=heuristic,
-        pack_dist=pack_dist if use_packed else None,
-    )
-
     if use_packed:
-        # refresh the payload rows whose adjacency changed this round: the
-        # R forward rows plus every reverse-edge target (R·M with dups; all
-        # dups recompute identical values).  Masked slots refresh the sink
-        # row, which recomputes to all-sentinel.
-        from ocaml_hnsw_tpu.models.packed import refresh_payload_rows
+        # q8 was computed above for the packed beam; its exact int32 norms
+        # feed the payload by-product (meta stores ‖x8‖² per slot)
+        from ocaml_hnsw_tpu.models.packed import (
+            _int8_sqnorm, refresh_payload_rows,
+        )
 
+        q8n = _int8_sqnorm(q8)
+        adj0, (aff, aff_ids_new, aff_d_new, aff_pay8, aff_norms) = \
+            apply_edges(
+                adj0, vectors, scales, norms, p_ids, sel_ids, sel_d, valid,
+                m_max0, rev_cap, metric, keep_pruned,
+                heuristic=heuristic,
+                pack_dist=pack_dist,
+                packed_ctx=(pack_pay, pack_meta, pack_scale, q8, q8n,
+                            start.astype(jnp.int32)),
+            )
+        # scatter the affected rows' payload by-product (duplicate aff rows
+        # all carry identical values — deterministic), then refresh the R
+        # forward rows the classic way (their adjacency is arbitrary graph
+        # nodes, not derivable from any existing payload row; R rows ≪ R·M)
+        c = pack_pay.shape[0] // n_cap
+        cid = (aff[:, None] * c
+               + jnp.arange(c, dtype=jnp.int32)[None, :]).reshape(-1)
+        pack_pay = pack_pay.at[cid].set(
+            aff_pay8.reshape(cid.shape[0], pack_pay.shape[1])
+        )
+        pack_meta = pack_meta.at[aff].set(
+            jnp.concatenate([aff_ids_new, aff_norms], axis=1)
+        )
+        if pack_dist is not None:
+            pack_dist = pack_dist.at[aff].set(aff_d_new)
+        pk = pk._replace(pay=pack_pay, meta=pack_meta, dist=pack_dist)
         sink = n_cap - 1
         fwd_rows = jnp.where(valid, p_ids, sink)
-        rev_rows = jnp.where(
-            valid[:, None] & (sel_ids >= 0), sel_ids, sink
-        ).reshape(-1)
-        pk = refresh_payload_rows(
-            pk, vectors, scales, adj0,
-            jnp.concatenate([fwd_rows, rev_rows]), metric=metric,
-        )
+        pk = refresh_payload_rows(pk, vectors, scales, adj0, fwd_rows,
+                                  metric=metric)
         pack_pay, pack_meta, pack_dist = pk.pay, pk.meta, pk.dist
+    else:
+        adj0 = apply_edges(
+            adj0, vectors, scales, norms, p_ids, sel_ids, sel_d, valid,
+            m_max0, rev_cap, metric, keep_pruned,
+            heuristic=heuristic,
+        )
 
     # ---- entry point / max level (first-max ⇒ matches sequential ties)
     lv = jnp.where(valid, new_levels, -1)
@@ -970,16 +1069,23 @@ class BuildState:
         self.host_n = 0
         # level-0 build-beam throughput knobs (see insert_round): candidate
         # compaction saved ~13% build time at 1M with zero measured recall
-        # cost, so it defaults on for wide candidate blocks.  build_mi=48:
-        # the packed beam costs ~1.8 ms/iteration and the default cap
-        # (2·efc/expand = 100) runs ~75+ effective iterations; capping at 48
-        # measured end recall 0.9518 vs 0.9520 uncapped at the 1M headline
-        # operating point (scripts/build_mi_quality.py, round 3) for ~25%
-        # less round time.  select_scan stays None: capping the admit scan
-        # at 64 measured -0.004 recall — one extra query iteration to reach
-        # 0.95, a bad trade for ~8 ms/round.
-        self.build_mi: int | None = 48
-        self.build_expand: int = 4
+        # cost, so it defaults on for wide candidate blocks.  (expand, mi):
+        # the knob frontier measured at the 1M headline operating point
+        # (scripts/blab.py, round 3 — full builds, end recall at ef=96/mi=15):
+        #   e=4 mi=48: round 242.8 ms, recall 0.9510
+        #   e=8 mi=24: round 237.0 ms, recall 0.9510   <- packed default
+        #   e=4 mi=24: round 205.0 ms, recall 0.9456   (too low)
+        # e=8/mi=24 visits the same ~192 nodes per beam as e=4/mi=48 in half
+        # the serial iterations (fatter gathers, same trajectory quality).
+        # That frontier was measured on the PACKED path; classic builds
+        # (small N, or payload over budget — e.g. 10M int8, 768-d) keep the
+        # conservative round-2-validated (48, 4).  "auto" resolves per path
+        # in _round_kwargs; scripts/users may still pin explicit ints.
+        # select_scan stays None: capping the admit scan at 64 measured
+        # -0.004 recall — one extra query iteration to reach 0.95, a bad
+        # trade for ~8 ms/round.
+        self.build_mi: int | str | None = "auto"
+        self.build_expand: int | str = "auto"
         self.select_scan: int | None = None
         self.build_ck: int | None = (
             (3 * 4 * config.M_max0) // 4 if 4 * config.M_max0 >= 128 else None
@@ -1039,20 +1145,30 @@ class BuildState:
 
         normalize = get_metric(self.config.metric).normalize_add
         if isinstance(data, jnp.ndarray):
+            # device-resident data keeps its dtype (a bf16 source halves the
+            # build's HBM residency at 10M; insert_round casts each round's
+            # R-row slice to f32, so compute precision is unchanged)
             if normalize:
-                nrm = jnp.linalg.norm(data, axis=1, keepdims=True)
-                data = data / jnp.where(nrm == 0, 1.0, nrm)
-            return data.astype(jnp.float32)
+                f = data.astype(jnp.float32)
+                nrm = jnp.linalg.norm(f, axis=1, keepdims=True)
+                data = (f / jnp.where(nrm == 0, 1.0, nrm)).astype(data.dtype)
+            return data
         data = np.asarray(data, dtype=np.float32)
         if normalize:
             nrm = np.linalg.norm(data, axis=1, keepdims=True)
             data = data / np.where(nrm == 0, 1.0, nrm)
         return data
 
-    #: rounds per lax.scan dispatch — ONE extra compiled program (the scan
-    #: body is insert_round) reused by every add() call; the remainder
-    #: (< SCAN_CHUNK rounds) runs through the per-round path
-    SCAN_CHUNK = 64
+    #: rounds per lax.scan dispatch, tried largest-first — each length is one
+    #: extra compiled program (the scan body is insert_round) reused by every
+    #: add() call; the remainder (< min chunk) runs through the per-round
+    #: path.  The ladder exists because the tail measured expensive: blab
+    #: instrumentation (round 3) put ~50 s of a 1M build outside the rounds,
+    #: and ~41 of 489 rounds were individual insert_round dispatches through
+    #: the tunnel (donated multi-GB args per dispatch); an 8-round scan cuts
+    #: the per-round tail to <8 dispatches for one extra cached compile
+    SCAN_CHUNKS = (64, 8)
+    SCAN_CHUNK = 64  # kept: back-compat for tests/scripts that reference it
     #: packed construction auto-enables at this index capacity (below it
     #: the classic beam is cheap and tests keep oracle-parity trajectories)
     PACKED_BUILD_THRESHOLD = 100_000
@@ -1113,6 +1229,13 @@ class BuildState:
 
     def _round_kwargs(self) -> dict:
         cfg = self.config
+        packed = bool(self._packed_build)
+        build_mi = self.build_mi
+        build_expand = self.build_expand
+        if build_mi == "auto":
+            build_mi = 24 if packed else 48
+        if build_expand == "auto":
+            build_expand = 8 if packed else 4
         return dict(
             efc=cfg.ef_construction,
             m=cfg.M,
@@ -1121,9 +1244,9 @@ class BuildState:
             metric=cfg.metric,
             keep_pruned=cfg.keep_pruned_connections,
             storage=cfg.storage,
-            build_mi=self.build_mi,
+            build_mi=build_mi,
             build_ck=self.build_ck,
-            build_expand=self.build_expand,
+            build_expand=build_expand,
             extend=cfg.extend_candidates,
             heuristic=cfg.select == "heuristic",
             select_scan=self.select_scan,
@@ -1203,8 +1326,11 @@ class BuildState:
         kw = self._round_kwargs()
         i = 0
         while i < len(rounds):
-            if len(rounds) - i >= self.SCAN_CHUNK:
-                chunk = rounds[i : i + self.SCAN_CHUNK]
+            chunk_len = next(
+                (c for c in self.SCAN_CHUNKS if len(rounds) - i >= c), None
+            )
+            if chunk_len is not None:
+                chunk = rounds[i : i + chunk_len]
                 (self.graph, self.seed_bank, self.seed_n, self.seed_vecs,
                  self.seed_norms, self.pack_pay, self.pack_meta,
                  self.pack_dist) = insert_rounds_scan(
@@ -1215,7 +1341,7 @@ class BuildState:
                     self.seed_norms, self.pack_pay, self.pack_meta,
                     self.pack_scale, self.pack_dist, rs=rs, **kw,
                 )
-                i += self.SCAN_CHUNK
+                i += chunk_len
             else:
                 d, count = rounds[i]
                 vecs, lvls = _pick_round_jit(

@@ -64,9 +64,23 @@ def main():
         state = BuildState(cfg, n + rs, round_size=rs)
         state.build_expand = be
         state.build_mi = bm
-        state.add(data)
+        sync(state.graph.adj0)
+        t_alloc = time.perf_counter() - t0
+        # overhead decomposition: first scan-chunk dispatch carries compile /
+        # executable-upload cost; the remainder is steady dispatch
+        t1 = time.perf_counter()
+        state.add(data[: 64 * rs])
         sync(state.graph.n)
+        t_first = time.perf_counter() - t1
+        t2 = time.perf_counter()
+        state.add(data[64 * rs:])
+        sync(state.graph.n)
+        t_rest = time.perf_counter() - t2
         t_build = time.perf_counter() - t0
+        print(f"[blab]   alloc {t_alloc:.1f}s, first 64-round chunk "
+              f"{t_first:.1f}s, remaining {(n - 64 * rs)} rows {t_rest:.1f}s "
+              f"({(n - 64 * rs) / t_rest:.0f} vps steady-dispatch)",
+              flush=True)
         # steady-state single round at the full-graph snapshot
         q = jnp.asarray(
             np.random.RandomState(3).randn(rs, dim).astype(np.float32))
