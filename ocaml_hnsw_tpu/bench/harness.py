@@ -54,8 +54,14 @@ def build_flat(data, metric: str, scan_dtype: str = "bf16",
     return flat
 
 
-def _gt_slab(flat, qc, k: int, metric: str, start, n_slab: int):
-    """Exact top-k of one query chunk against one N-slab (f32 HIGHEST)."""
+def _gt_slab(src, qc, k: int, metric: str, start, n_slab: int):
+    """Exact top-k of one query chunk against one N-slab (f32 HIGHEST).
+
+    `src` is either FlatTensors (rows = its rerank matrix, tombstones
+    honored) or a raw [N, D] row matrix (rows normalized here for cosine).
+    Passing the raw f32 dataset keeps GT exact even when the serving engine
+    stores bf16/int8 rows — at 768-d the bf16-rounded "GT" mislabels ~2% of
+    true top-10 at 20k rows (worse at 1M), an artificial recall ceiling."""
     from ocaml_hnsw_tpu.models.search import preprocess_queries
     from ocaml_hnsw_tpu.ops.distance import HIGHEST, INF
 
@@ -63,9 +69,13 @@ def _gt_slab(flat, qc, k: int, metric: str, start, n_slab: int):
 
     m = get_metric(metric)
     q = preprocess_queries(qc, metric)
+    raw = isinstance(src, jnp.ndarray)
     rows = jax.lax.dynamic_slice_in_dim(
-        flat.rerank, start, n_slab, axis=0
+        src if raw else src.rerank, start, n_slab, axis=0
     ).astype(jnp.float32)
+    if raw and m.normalize_add:
+        nrm = jnp.linalg.norm(rows, axis=1, keepdims=True)
+        rows = rows / jnp.where(nrm == 0, 1.0, nrm)
     if m.matmul_score is not None:
         dot = jnp.einsum("bd,nd->bn", q, rows, precision=HIGHEST)
         nn = jnp.sum(rows * rows, axis=1) if m.needs_norms \
@@ -73,10 +83,11 @@ def _gt_slab(flat, qc, k: int, metric: str, start, n_slab: int):
         d = m.matmul_score(dot, nn[None, :])
     else:
         d = m.pair_dist(rows[None], q)  # exact VPU form, fused over the slab
-    ids_global = start + jnp.arange(n_slab)
-    occupied = ids_global < flat.n
-    d = jnp.where(occupied[None, :] & ~flat.deleted[ids_global][None, :],
-                  d, INF)
+    if not raw:
+        ids_global = start + jnp.arange(n_slab)
+        occupied = ids_global < src.n
+        d = jnp.where(occupied[None, :] & ~src.deleted[ids_global][None, :],
+                      d, INF)
     neg, idx = jax.lax.top_k(-d, k)
     return (start + idx).astype(jnp.int32), -neg
 
@@ -84,14 +95,16 @@ def _gt_slab(flat, qc, k: int, metric: str, start, n_slab: int):
 _gt_slab_jit = jax.jit(_gt_slab, static_argnames=("k", "metric", "n_slab"))
 
 
-def device_ground_truth(flat, queries, k: int, metric: str, chunk: int = 256,
+def device_ground_truth(src, queries, k: int, metric: str, chunk: int = 256,
                         n_slab: int = 1 << 20) -> np.ndarray:
     """Exact kNN on the accelerator, chunked over queries AND over N slabs so
-    the [chunk, N] score matrix never exceeds ~1 GB (10M-row configs)."""
+    the [chunk, N] score matrix never exceeds ~1 GB (10M-row configs).
+
+    `src`: FlatTensors, or the raw f32 [N, D] dataset (see _gt_slab)."""
     queries = jnp.asarray(queries)
     nq = queries.shape[0]
     queries = jnp.pad(queries, ((0, chunk), (0, 0)))
-    n_cap = flat.n_cap
+    n_cap = src.shape[0] if isinstance(src, jnp.ndarray) else src.n_cap
     n_slab = min(n_slab, n_cap)
     out = []
     for i in range(0, nq, chunk):
@@ -99,7 +112,7 @@ def device_ground_truth(flat, queries, k: int, metric: str, chunk: int = 256,
         slab_ids, slab_d = [], []
         for start in range(0, n_cap, n_slab):
             width = min(n_slab, n_cap - start)
-            ids, d = _gt_slab_jit(flat, qc, k=k, metric=metric,
+            ids, d = _gt_slab_jit(src, qc, k=k, metric=metric,
                                   start=jnp.int32(start), n_slab=width)
             slab_ids.append(ids)
             slab_d.append(d)
@@ -176,12 +189,10 @@ def run_streaming_config(
         qb = jnp.concatenate([qb, qb])
     qb = qb[:qps_batch]
 
-    # exact GT up front, then free the flat index — at high dim the flat +
-    # graph + dataset together exceed one chip's HBM
+    # exact GT up front from the raw f32 rows (a lossy-dtype flat engine
+    # here put an artificial ~0.9x ceiling on measured recall at 768-d)
     log("computing exact ground truth on device")
-    flat = build_flat(data, metric, scan_dtype="bf16", rerank_dtype="bf16")
-    gt = device_ground_truth(flat, queries, k, metric)
-    del flat
+    gt = device_ground_truth(data, queries, k, metric)
 
     cfg = HnswConfig(dim=dim, metric=metric, M=M,
                      ef_construction=ef_construction)
@@ -305,6 +316,10 @@ def run_config(
     )
     queries = make_q(n_queries, qseed=seed + 1)
 
+    # exact GT from the raw f32 rows BEFORE any lossy-dtype engine exists
+    log("computing exact ground truth on device")
+    gt = device_ground_truth(data, queries, k, metric)
+
     t0 = time.perf_counter()
     flat = build_flat(data, metric, scan_dtype=scan_dtype,
                       rerank_dtype=rerank_dtype)
@@ -313,8 +328,6 @@ def run_config(
     log(f"flat loaded in {flat_build_s:.1f}s")
     if "hnsw" not in engines:
         data = make_q = None  # free the raw f32 dataset (HBM headroom at 10M)
-    log("computing exact ground truth on device")
-    gt = device_ground_truth(flat, queries, k, metric)
 
     results = {}
 

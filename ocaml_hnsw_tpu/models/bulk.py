@@ -1,0 +1,421 @@
+"""Bulk graph construction — the TPU-first answer to "build the whole index
+at once" (SURVEY.md §3.1's `build` fold, re-designed for the MXU instead of
+translated insert-by-insert).
+
+The incremental builder (models/build.py) replays the paper's Alg 1 in
+batched rounds: each round runs an ef_construction-wide beam search against
+the graph-so-far.  That is the right shape for *streaming* inserts, but for
+a bulk build it is a long dependent chain of ~N/R round dispatches whose hot
+loop is transaction-bound gathers (BASELINE.md: 244 ms/round at R=2048 →
+~8.5k vectors/s steady, ~5.4k cold).
+
+When the whole dataset is present up front, none of that dependency chain is
+necessary.  This module builds the SAME layered structure (same tensors,
+same query engine, same HBM footprint, same M/M_max0 caps, same level
+distribution from the same RNG formula) in a handful of full-dataset passes
+that are all MXU/VPU-shaped:
+
+  1. exact-rerank kNN of every node against the dataset via the flat MXU
+     scan (models/flat.py — the engine that serves ~280k QPS at 1M 128-d
+     does 1M x top-64 in seconds);
+  2. SELECT-NEIGHBORS-HEURISTIC (paper Alg 4, the exact vectorized
+     `heuristic_admit` the round builder uses) picks each node's M forward
+     edges from its top-k — slab-batched, one pass;
+  3. reverse edges (Alg 1's bidirectional connect) via a deterministic
+     chunked column-major slot-counter scatter (same conflict-free trick as
+     build.apply_edges, scaled to all N rows at once);
+  4. per-node shrink: re-prune (own kNN ∪ reverse) to M_max0 with the same
+     heuristic (Alg 1's shrink semantics, keep_pruned backfill optional);
+  5. upper layers ℓ = 1..L: the ~N/M^ℓ sampled nodes (same
+     `sample_levels` formula/stream) get the same treatment against the
+     *subset* — kNN by MXU scan over the subset rows, select M, reverse,
+     shrink to M_max — written into the compact arena.
+
+The output graph is drop-in: `pack_graph`, `build_seed_index`,
+`knn_search(_packed)`, checkpointing, and ShardedIndex all consume it
+unchanged, and `BuildState.adopt_graph` lets incremental inserts continue
+on top (the streaming path).
+
+Provenance note: the reference repo (empty mount — SURVEY.md §0) is a
+single-threaded fold of Alg 1; this module is behaviorally equivalent at
+the level the paper specifies (layered NSW, heuristic-pruned edges, capped
+degrees, exponential level sampling) but constructs the base layer from
+exact kNN instead of approximate beam search — strictly richer candidate
+sets, measured-equal-or-better end recall, at ~an order of magnitude higher
+build rate on TPU.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ocaml_hnsw_tpu.config import HnswConfig
+from ocaml_hnsw_tpu.models.graph import (
+    GraphTensors, capacity, arena_capacity,
+)
+from ocaml_hnsw_tpu.models.build import (
+    heuristic_admit, compact_by_mask, sample_levels,
+)
+from ocaml_hnsw_tpu.models.flat import empty_flat, flat_add, flat_search
+from ocaml_hnsw_tpu.ops.distance import (
+    INF, gather_dequant, pairwise_dists, dists_to_ids,
+)
+from ocaml_hnsw_tpu.ops.bitset import first_occurrence_mask
+from ocaml_hnsw_tpu.utils import round_up
+
+
+# --------------------------------------------------------------- flat loader
+def flat_from_rows(rows, metric: str, scan_dtype: str = "bf16",
+                   n_valid=None, chunk: int = 262144):
+    """Device rows -> FlatTensors for the kNN passes (rerank rows f32,
+    cosine rows normalized).  `rows` may carry padding; n_valid caps the
+    occupied count."""
+    from ocaml_hnsw_tpu.ops.metrics import get_metric
+
+    rows = jnp.asarray(rows)
+    n = int(rows.shape[0]) if n_valid is None else int(n_valid)
+    if get_metric(metric).normalize_add:
+        nrm = jnp.linalg.norm(rows.astype(jnp.float32), axis=1, keepdims=True)
+        rows = rows / jnp.where(nrm == 0, 1.0, nrm)
+    flat = empty_flat(rows.shape[1], max(n, 1), scan_dtype=scan_dtype,
+                      rerank_dtype="f32")
+    chunk = min(chunk, flat.n_cap)
+    src = jnp.pad(rows.astype(jnp.float32),
+                  ((0, flat.n_cap + chunk - rows.shape[0]), (0, 0)))
+    for i in range(0, n, chunk):
+        blk = jax.lax.dynamic_slice_in_dim(src, i, chunk, axis=0)
+        flat = flat_add(flat, blk, jnp.int32(i), jnp.int32(min(chunk, n - i)))
+    return flat
+
+
+# ------------------------------------------------------------------ base kNN
+def knn_table(flat, rows, k: int, metric: str, batch: int = 8192,
+              rerank_pad: int = 32):
+    """Top-k neighbor ids+dists of every row against the flat index, self
+    excluded: (ids i32[n_rows_cap, k], d f32[n_rows_cap, k]) ascending.
+
+    rows may be longer than the flat's occupied count (padding); each batch
+    asks for k+1 then drops the self column.  approx_min_k keeps
+    k+1+rerank_pad candidates before the exact f32 rerank."""
+    rows = jnp.asarray(rows)
+    n_rows = rows.shape[0]
+    n_pad = round_up(max(n_rows, batch), batch)
+    src = jnp.pad(rows.astype(jnp.float32), ((0, n_pad - n_rows), (0, 0)))
+    ids_out = jnp.full((n_pad, k), -1, jnp.int32)
+    d_out = jnp.full((n_pad, k), INF)
+
+    @partial(jax.jit, static_argnames=("k", "metric"))
+    def one(flat, src, start, ids_out, d_out, k, metric):
+        q = jax.lax.dynamic_slice_in_dim(src, start, batch, axis=0)
+        ids, d = flat_search(flat, q, k=k + 1, metric=metric,
+                             rerank_k=k + 1 + rerank_pad)
+        own = start + jnp.arange(batch, dtype=jnp.int32)
+        not_self = ids != own[:, None]
+        ids2, d2 = compact_by_mask(ids, d, not_self & (ids >= 0), k)
+        ids_out = jax.lax.dynamic_update_slice_in_dim(ids_out, ids2, start, 0)
+        d_out = jax.lax.dynamic_update_slice_in_dim(d_out, d2, start, 0)
+        return ids_out, d_out
+
+    for i in range(0, n_pad, batch):
+        ids_out, d_out = one(flat, src, jnp.int32(i), ids_out, d_out,
+                             k=k, metric=metric)
+    return ids_out[:n_rows], d_out[:n_rows]
+
+
+# ------------------------------------------------------ forward selection
+@partial(jax.jit, static_argnames=("m", "metric", "slab", "keep_pruned"))
+def _select_rounds(vectors, scales, norms, cand_ids, cand_d, m: int,
+                   metric: str, slab: int, keep_pruned: bool):
+    """Alg-4 heuristic selection of m forward edges per node from its
+    (ascending) candidate list — slab-batched over all rows.  Returns
+    (ids i32[n_rows, m], d f32[n_rows, m])."""
+    n_rows, k = cand_ids.shape
+    out = jnp.full((n_rows, m), -1, jnp.int32)
+    out_d = jnp.full((n_rows, m), INF)
+
+    def body(i, carry):
+        out, out_d = carry
+        start = i * slab
+        ids = jax.lax.dynamic_slice_in_dim(cand_ids, start, slab)
+        d = jax.lax.dynamic_slice_in_dim(cand_d, start, slab)
+        valid = ids >= 0
+        cvec = gather_dequant(vectors, scales, ids)
+        cnorm = norms[jnp.maximum(ids, 0)]
+        pair = pairwise_dists(cvec, cnorm, metric,
+                              precision=jax.lax.Precision.DEFAULT)
+        sel = heuristic_admit(d, pair, valid, m, keep_pruned)
+        new_ids, new_d = compact_by_mask(ids, d, sel & valid, m)
+        return (
+            jax.lax.dynamic_update_slice_in_dim(out, new_ids, start, 0),
+            jax.lax.dynamic_update_slice_in_dim(out_d, new_d, start, 0),
+        )
+
+    return jax.lax.fori_loop(0, n_rows // slab, body, (out, out_d))
+
+
+# ------------------------------------------------------- reverse scatter
+def reverse_scatter(fwd_ids, fwd_d, n_rows: int, rev_cap: int,
+                    chunk: int = 8192):
+    """Deterministic capped reverse-edge table from forward edges.
+
+    fwd_ids i32[R, M] (-1 padded, rows distance-ascending), fwd_d f32[R, M].
+    Returns (rev i32[n_rows, rev_cap], rev_d f32) where row u collects the
+    sources v with u ∈ fwd[v], first-come in (row-chunk, column-major)
+    order — the same conflict-free slot-counter scheme as
+    build.apply_edges' rev_blk, chunked so the duplicate-ranking block
+    ([chunk] per column) stays on-chip at full-dataset scale.  Capped drops
+    shed the farthest edges (column order ≈ distance order).  Pure function
+    of (fwd_ids, fwd_d): deterministic."""
+    r, m = fwd_ids.shape
+    r_pad = round_up(max(r, chunk), chunk)
+    ids = jnp.pad(fwd_ids, ((0, r_pad - r), (0, 0)), constant_values=-1)
+    d = jnp.pad(fwd_d, ((0, r_pad - r), (0, 0)), constant_values=jnp.inf)
+    sink = n_rows  # one extra scatter-sink row, dropped at the end
+
+    @jax.jit
+    def step(carry, start):
+        cnt, rev, rev_d = carry
+        blk = jax.lax.dynamic_slice_in_dim(ids, start, chunk, axis=0)
+        dblk = jax.lax.dynamic_slice_in_dim(d, start, chunk, axis=0)
+        src = start + jnp.arange(chunk, dtype=jnp.int32)
+        tri = jnp.arange(chunk)[None, :] < jnp.arange(chunk)[:, None]
+
+        def col(j, carry):
+            cnt, rev, rev_d = carry
+            er = jax.lax.dynamic_slice_in_dim(blk, j, 1, axis=1)[:, 0]
+            dc = jax.lax.dynamic_slice_in_dim(dblk, j, 1, axis=1)[:, 0]
+            live = er >= 0
+            tgt = jnp.where(live, er, sink)
+            base = cnt[tgt]
+            same = (tgt[None, :] == tgt[:, None]) & live[:, None]
+            dup_rank = jnp.sum(same & tri, axis=1)
+            pos = base + dup_rank
+            keep = live & (pos < rev_cap)
+            srow = jnp.where(keep, tgt, sink)
+            spos = jnp.where(keep, pos, 0)
+            rev = rev.at[srow, spos].max(jnp.where(keep, src, -1))
+            rev_d = rev_d.at[srow, spos].min(jnp.where(keep, dc, INF))
+            cnt = cnt.at[tgt].add(live.astype(jnp.int32))
+            return cnt, rev, rev_d
+
+        return jax.lax.fori_loop(0, m, col, (cnt, rev, rev_d)), None
+
+    init = (
+        jnp.zeros((n_rows + 1,), jnp.int32),
+        jnp.full((n_rows + 1, rev_cap), -1, jnp.int32),
+        jnp.full((n_rows + 1, rev_cap), INF),
+    )
+    (cnt, rev, rev_d), _ = jax.lax.scan(
+        step, init, jnp.arange(0, r_pad, chunk, dtype=jnp.int32))
+    return rev[:n_rows], rev_d[:n_rows]
+
+
+# ------------------------------------------------------------ shrink merge
+@partial(jax.jit, static_argnames=("m_cap", "metric", "slab", "keep_pruned"))
+def _merge_rounds(vectors, scales, norms, fwd_ids, fwd_d, rev, rev_d,
+                  m_cap: int, metric: str, slab: int, keep_pruned: bool):
+    """Final per-node rows: forward edges ∪ incoming reverse edges, with
+    sequential Alg 1 semantics (same policy as build.apply_edges): reverse
+    edges APPEND while the row fits m_cap; only over-full rows get the
+    heuristic shrink re-prune."""
+    from ocaml_hnsw_tpu.ops.sortmerge import bitonic_sort, next_pow2
+
+    n_rows = fwd_ids.shape[0]
+    k2 = fwd_ids.shape[1] + rev.shape[1]
+    p2 = next_pow2(k2)
+    out = jnp.full((n_rows, m_cap), -1, jnp.int32)
+
+    def body(i, out):
+        start = i * slab
+        ids = jnp.concatenate([
+            jax.lax.dynamic_slice_in_dim(fwd_ids, start, slab),
+            jax.lax.dynamic_slice_in_dim(rev, start, slab),
+        ], axis=1)
+        d = jnp.concatenate([
+            jax.lax.dynamic_slice_in_dim(fwd_d, start, slab),
+            jax.lax.dynamic_slice_in_dim(rev_d, start, slab),
+        ], axis=1)
+        valid = (ids >= 0) & first_occurrence_mask(ids)
+        d = jnp.where(valid, d, INF)
+        ids = jnp.where(valid, ids, -1)
+        overflow = jnp.sum(valid, axis=1) > m_cap
+        # append path: forward slots first, then reverse, packed left
+        app_ids, _ = compact_by_mask(ids, d, valid, m_cap)
+        # shrink path: Alg 4 over the distance-sorted union
+        ds, idss = d, ids
+        if p2 > k2:
+            ds = jnp.pad(ds, ((0, 0), (0, p2 - k2)), constant_values=jnp.inf)
+            idss = jnp.pad(idss, ((0, 0), (0, p2 - k2)), constant_values=-1)
+        sd, (sids,) = bitonic_sort(ds, [idss])
+        svalid = jnp.isfinite(sd)
+        cvec = gather_dequant(vectors, scales, sids)
+        cnorm = norms[jnp.maximum(sids, 0)]
+        pair = pairwise_dists(cvec, cnorm, metric,
+                              precision=jax.lax.Precision.DEFAULT)
+        sel = heuristic_admit(sd, pair, svalid, m_cap, keep_pruned,
+                              scan_limit=k2)
+        heur_ids, _ = compact_by_mask(sids, sd, sel & svalid, m_cap)
+        new_ids = jnp.where(overflow[:, None], heur_ids, app_ids)
+        return jax.lax.dynamic_update_slice_in_dim(out, new_ids, start, 0)
+
+    return jax.lax.fori_loop(0, n_rows // slab, body, out)
+
+
+def _local_ids(global_adj, inv):
+    """Map global-id adjacency to subset-local ids via an inverse table."""
+    loc = inv[jnp.maximum(global_adj, 0)]
+    return jnp.where(global_adj >= 0, loc, -1)
+
+
+# ----------------------------------------------------------------- bulk build
+def bulk_build(
+    data,
+    config: HnswConfig,
+    max_elements: int | None = None,
+    knn_k: int = 64,
+    batch: int = 8192,
+    scan_dtype: str = "bf16",
+    verbose: bool = False,
+) -> GraphTensors:
+    """Construct a full GraphTensors from the complete dataset (module
+    docstring).  `data`: [n, dim] host or device array.  Deterministic for a
+    fixed (data, config)."""
+    from ocaml_hnsw_tpu.ops.quantize import quantize_rows
+    from ocaml_hnsw_tpu.ops.metrics import get_metric
+
+    def log(msg):
+        if verbose:
+            print(f"[bulk] {msg}", flush=True)
+
+    t_all = time.perf_counter()
+    data = jnp.asarray(data)
+    n, dim = int(data.shape[0]), int(data.shape[1])
+    assert dim == config.dim
+    max_elements = max_elements or n
+    n_cap = capacity(max_elements)
+    l_max = config.derived_max_level(max_elements)
+    m, m_max, m_max0 = config.M, config.M, config.M_max0
+    metric = config.metric
+    keep_pruned = config.keep_pruned_connections
+
+    # ---- levels: same formula/stream as the incremental builder
+    rng = np.random.RandomState(config.seed)
+    levels_np = np.asarray(sample_levels(rng, n, config.mL, l_max))
+    max_level = int(levels_np.max(initial=0))
+    entry = int(np.argmax(levels_np))  # lowest id at the top level
+
+    # ---- storage rows (quantized per config), norms
+    normalize = get_metric(metric).normalize_add
+    dataf = data.astype(jnp.float32)
+    if normalize:
+        nrm = jnp.linalg.norm(dataf, axis=1, keepdims=True)
+        dataf = dataf / jnp.where(nrm == 0, 1.0, nrm)
+    src = jnp.zeros((n_cap, dim), jnp.float32).at[:n].set(dataf)
+    vectors, scales, norms_all = quantize_rows(src, config.storage)
+    norms = norms_all if get_metric(metric).needs_norms \
+        else jnp.zeros((n_cap,), jnp.float32)
+
+    # ---- layer 0: kNN over everything, select, reverse, shrink
+    flat = flat_from_rows(dataf, metric, scan_dtype=scan_dtype)
+    t0 = time.perf_counter()
+    knn_ids, knn_d = knn_table(flat, dataf, knn_k, metric, batch=batch)
+    knn_ids = jnp.pad(knn_ids, ((0, n_cap - n), (0, 0)), constant_values=-1)
+    knn_d = jnp.pad(knn_d, ((0, n_cap - n), (0, 0)),
+                    constant_values=jnp.inf)
+    del flat
+    log(f"layer0 kNN (k={knn_k}) in {time.perf_counter()-t0:.1f}s")
+
+    slab = 2048
+    while n_cap % slab:
+        slab //= 2
+    t0 = time.perf_counter()
+    fwd, fwd_d = _select_rounds(vectors, scales, norms, knn_ids, knn_d, m,
+                                metric, slab, keep_pruned)
+    log(f"layer0 forward select in {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    rev, rev_d = reverse_scatter(fwd, fwd_d, n_cap, m_max0 + m)
+    log(f"layer0 reverse scatter in {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    adj0 = _merge_rounds(vectors, scales, norms, fwd, fwd_d, rev, rev_d,
+                         m_max0, metric, slab, keep_pruned)
+    log(f"layer0 shrink merge in {time.perf_counter()-t0:.1f}s")
+
+    # ---- upper layers into the compact arena
+    t_cap = arena_capacity(max_elements, m)
+    adj_up = jnp.full((t_cap, m), -1, jnp.int32)
+    up_base_np = np.full((n_cap,), -1, np.int32)
+    upper = np.nonzero(levels_np >= 1)[0]
+    up_base_np[upper] = np.cumsum(
+        np.concatenate([[0], levels_np[upper][:-1]])).astype(np.int32)
+    up_n = int(levels_np[upper].sum()) if upper.size else 0
+    if up_n >= t_cap:
+        raise RuntimeError(f"arena overflow: {up_n} rows > capacity {t_cap}")
+    up_base = jnp.asarray(up_base_np)
+
+    for lvl in range(1, max_level + 1):
+        sub = np.nonzero(levels_np >= lvl)[0].astype(np.int32)
+        n_sub = sub.size
+        if n_sub == 0:
+            break
+        t0 = time.perf_counter()
+        if n_sub == 1:
+            arows = jnp.asarray(up_base_np[sub] + (lvl - 1))
+            adj_up = adj_up.at[arows].set(-1)
+            continue
+        n_sub_cap = round_up(n_sub, 256)
+        row_ids = jnp.asarray(
+            np.pad(sub, (0, n_sub_cap - n_sub), constant_values=-1))
+        rows = dataf[jnp.maximum(row_ids, 0)]
+        rows = jnp.where((row_ids >= 0)[:, None], rows, 0.0)
+        sflat = flat_from_rows(rows, metric, scan_dtype=scan_dtype,
+                               n_valid=n_sub)
+        kk = max(1, min(knn_k, n_sub - 1))
+        sb = min(batch, n_sub_cap)
+        knn_l, knn_ld = knn_table(sflat, rows, kk, metric, batch=sb)
+        del sflat
+        pad_row = row_ids < 0
+        g_knn = jnp.where((knn_l >= 0) & ~pad_row[:, None],
+                          row_ids[jnp.maximum(knn_l, 0)], -1)
+        knn_ld = jnp.where(g_knn >= 0, knn_ld, INF)
+        slab_u = min(2048, n_sub_cap)
+        while n_sub_cap % slab_u:
+            slab_u //= 2
+        fwd_u, fwd_ud = _select_rounds(vectors, scales, norms, g_knn, knn_ld,
+                                       m, metric, slab_u, keep_pruned)
+        inv = jnp.full((n_cap,), -1, jnp.int32).at[
+            jnp.maximum(row_ids, 0)].set(
+            jnp.arange(n_sub_cap, dtype=jnp.int32))
+        l_fwd = _local_ids(fwd_u, inv)
+        rev_u, rev_ud = reverse_scatter(l_fwd, fwd_ud, n_sub_cap, m_max + m,
+                                        chunk=min(8192, n_sub_cap))
+        g_rev = jnp.where(rev_u >= 0, row_ids[jnp.maximum(rev_u, 0)], -1)
+        adj_l = _merge_rounds(vectors, scales, norms, fwd_u, fwd_ud, g_rev,
+                              rev_ud, m_max, metric, slab_u, keep_pruned)
+        arows = jnp.asarray(up_base_np[sub] + (lvl - 1))
+        adj_up = adj_up.at[arows].set(adj_l[:n_sub])
+        log(f"layer {lvl}: {n_sub} nodes in {time.perf_counter()-t0:.1f}s")
+
+    g = GraphTensors(
+        vectors=vectors,
+        scales=scales,
+        norms=norms,
+        adj0=adj0,
+        adj_up=adj_up,
+        up_base=up_base,
+        up_n=jnp.int32(up_n),
+        levels=jnp.asarray(
+            np.pad(levels_np, (0, n_cap - n), constant_values=-1)),
+        entry=jnp.int32(entry if n else -1),
+        max_level=jnp.int32(max_level if n else -1),
+        n=jnp.int32(n),
+        deleted=jnp.zeros((n_cap,), jnp.bool_),
+        l_max_static=l_max,
+    )
+    log(f"total {time.perf_counter()-t_all:.1f}s = "
+        f"{n / (time.perf_counter()-t_all):.0f} vps")
+    return g

@@ -31,18 +31,16 @@ def main():
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--sweep", default=(
-        # (deg_limit, ef, mi, expand, rerank_k[, pipe])
+        # (deg_limit, ef, mi, expand, rerank_k)
         "none,96,15,4,32;"        # packed-payload baseline
         "none,96,15,4,16;"        # cheaper rerank
-        "none,96,15,4,32,p;"      # pipelined ladder
-        "none,96,16,4,32,p;"
-        "none,96,17,4,32,p;"
         "16,96,18,4,32;"          # deg_limit ladder
         "16,96,20,4,32;"
-        "16,96,22,4,32;"
-        "16,96,20,4,32,p;"        # deg_limit + pipeline
-        "16,96,22,4,32,p"
+        "16,96,22,4,32"
     ))
+    ap.add_argument("--refine", default=None,
+                    help="OUT_DEG[:HOPS] — distill the serving adjacency "
+                    "(models/refine.py) and run the sweep against it")
     args = ap.parse_args()
 
     from ocaml_hnsw_tpu.config import HnswConfig
@@ -74,13 +72,22 @@ def main():
     print(f"[qlab] built in {time.perf_counter()-t0:.1f}s", flush=True)
     graph = state.graph
     seeds = build_seed_index(graph, "l2")
+    if args.refine:
+        from ocaml_hnsw_tpu.models.refine import refined_graph
+
+        parts = args.refine.split(":")
+        out_deg, hops = int(parts[0]), int(parts[1]) if len(parts) > 1 else 0
+        t0 = time.perf_counter()
+        graph = refined_graph(graph, out_deg, "l2", hops=hops)
+        sync(graph.adj0)
+        print(f"[qlab] refined to deg={out_deg} hops={hops} in "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
     packed = pack_graph(graph, "l2")
     sync(packed.scale)
 
     for spec in args.sweep.split(";"):
         parts = spec.split(",")
         dl_s, ef_s, mi_s, e_s, rk_s = parts[:5]
-        pipe = len(parts) > 5 and parts[5].strip() == "p"
         dl = None if dl_s.strip() == "none" else int(dl_s)
         ef, mi, e, rk = int(ef_s), int(mi_s), int(e_s), int(rk_s)
 
@@ -88,11 +95,11 @@ def main():
             return knn_search_packed(
                 graph, packed, q, k=k, ef=ef, metric="l2", max_iters=mi,
                 expand=e, seeds=seeds, seed_e=8, rerank_k=rk,
-                deg_limit=dl, pipeline=pipe)[0]
+                deg_limit=dl)[0]
         ids = run(queries)
         r = recall_of(np.asarray(ids), gt)
         qps = measure_qps(run, queries, batch=b)
-        print(f"[qlab] dl={dl} ef={ef} mi={mi} e={e} rk={rk} p={int(pipe)}: "
+        print(f"[qlab] dl={dl} ef={ef} mi={mi} e={e} rk={rk}: "
               f"recall={r:.4f} qps={qps:.0f}", flush=True)
 
 
