@@ -66,6 +66,7 @@ from ocaml_hnsw_tpu.ops.distance import (
     INF, gather_dequant, pairwise_dists, dists_to_ids,
 )
 from ocaml_hnsw_tpu.ops.bitset import first_occurrence_mask
+from ocaml_hnsw_tpu.ops.sortmerge import next_pow2
 from ocaml_hnsw_tpu.utils import round_up
 
 
@@ -82,8 +83,10 @@ def flat_from_rows(rows, metric: str, scan_dtype: str = "bf16",
     if get_metric(metric).normalize_add:
         nrm = jnp.linalg.norm(rows.astype(jnp.float32), axis=1, keepdims=True)
         rows = rows / jnp.where(nrm == 0, 1.0, nrm)
-    flat = empty_flat(rows.shape[1], max(n, 1), scan_dtype=scan_dtype,
-                      rerank_dtype="f32")
+    # capacity from the (possibly bucketed) row count, not n_valid, so the
+    # upper-level flats share compiled shape families across levels
+    flat = empty_flat(rows.shape[1], max(int(rows.shape[0]), n, 1),
+                      scan_dtype=scan_dtype, rerank_dtype="f32")
     chunk = min(chunk, flat.n_cap)
     src = jnp.pad(rows.astype(jnp.float32),
                   ((0, flat.n_cap + chunk - rows.shape[0]), (0, 0)))
@@ -159,59 +162,52 @@ def _select_rounds(vectors, scales, norms, cand_ids, cand_d, m: int,
 
 
 # ------------------------------------------------------- reverse scatter
-def reverse_scatter(fwd_ids, fwd_d, n_rows: int, rev_cap: int,
-                    chunk: int = 8192):
+@partial(jax.jit, static_argnames=("n_rows", "rev_cap"))
+def reverse_scatter(fwd_ids, fwd_d, n_rows: int, rev_cap: int):
     """Deterministic capped reverse-edge table from forward edges.
 
-    fwd_ids i32[R, M] (-1 padded, rows distance-ascending), fwd_d f32[R, M].
-    Returns (rev i32[n_rows, rev_cap], rev_d f32) where row u collects the
-    sources v with u ∈ fwd[v], first-come in (row-chunk, column-major)
-    order — the same conflict-free slot-counter scheme as
-    build.apply_edges' rev_blk, chunked so the duplicate-ranking block
-    ([chunk] per column) stays on-chip at full-dataset scale.  Capped drops
-    shed the farthest edges (column order ≈ distance order).  Pure function
-    of (fwd_ids, fwd_d): deterministic."""
+    fwd_ids i32[R, M] (-1 padded), fwd_d f32[R, M].  Returns
+    (rev i32[n_rows, rev_cap], rev_d f32) where row u collects the sources v
+    with u ∈ fwd[v], ascending by edge distance — capped drops shed exactly
+    the farthest incoming edges per target.
+
+    One `lax.sort` over all R·M edges keyed lexicographically by
+    (target, distance, source): within each equal-target run the edges land
+    distance-ascending, the in-run rank is (position − run start) via a
+    cummax over run-start markers, and (target, rank<cap) pairs are then
+    unique → one conflict-free scatter.  Replaces the chunked column-major
+    slot-counter scheme whose per-column [chunk, chunk] duplicate-ranking
+    block cost 52 s at 1M×16 on v5e; this form runs in 0.46 s there.  The
+    16.8M-key `lax.sort` costs ~70-146 s of XLA compile ONCE per shape on
+    this toolchain (measured: compile is ~50 s even at 1M keys — a fixed
+    sort-codegen cost, not size-bound) — amortized across processes by the
+    persistent compile cache (utils/cache.py).  Pure function of
+    (fwd_ids, fwd_d): deterministic (is_stable + the source-id tiebreak
+    make the order total)."""
     r, m = fwd_ids.shape
-    r_pad = round_up(max(r, chunk), chunk)
-    ids = jnp.pad(fwd_ids, ((0, r_pad - r), (0, 0)), constant_values=-1)
-    d = jnp.pad(fwd_d, ((0, r_pad - r), (0, 0)), constant_values=jnp.inf)
-    sink = n_rows  # one extra scatter-sink row, dropped at the end
-
-    @jax.jit
-    def step(carry, start):
-        cnt, rev, rev_d = carry
-        blk = jax.lax.dynamic_slice_in_dim(ids, start, chunk, axis=0)
-        dblk = jax.lax.dynamic_slice_in_dim(d, start, chunk, axis=0)
-        src = start + jnp.arange(chunk, dtype=jnp.int32)
-        tri = jnp.arange(chunk)[None, :] < jnp.arange(chunk)[:, None]
-
-        def col(j, carry):
-            cnt, rev, rev_d = carry
-            er = jax.lax.dynamic_slice_in_dim(blk, j, 1, axis=1)[:, 0]
-            dc = jax.lax.dynamic_slice_in_dim(dblk, j, 1, axis=1)[:, 0]
-            live = er >= 0
-            tgt = jnp.where(live, er, sink)
-            base = cnt[tgt]
-            same = (tgt[None, :] == tgt[:, None]) & live[:, None]
-            dup_rank = jnp.sum(same & tri, axis=1)
-            pos = base + dup_rank
-            keep = live & (pos < rev_cap)
-            srow = jnp.where(keep, tgt, sink)
-            spos = jnp.where(keep, pos, 0)
-            rev = rev.at[srow, spos].max(jnp.where(keep, src, -1))
-            rev_d = rev_d.at[srow, spos].min(jnp.where(keep, dc, INF))
-            cnt = cnt.at[tgt].add(live.astype(jnp.int32))
-            return cnt, rev, rev_d
-
-        return jax.lax.fori_loop(0, m, col, (cnt, rev, rev_d)), None
-
-    init = (
-        jnp.zeros((n_rows + 1,), jnp.int32),
-        jnp.full((n_rows + 1, rev_cap), -1, jnp.int32),
-        jnp.full((n_rows + 1, rev_cap), INF),
-    )
-    (cnt, rev, rev_d), _ = jax.lax.scan(
-        step, init, jnp.arange(0, r_pad, chunk, dtype=jnp.int32))
+    e = r * m
+    tgt = fwd_ids.reshape(e)
+    d = fwd_d.reshape(e)
+    src = jnp.repeat(jnp.arange(r, dtype=jnp.int32), m, total_repeat_length=e)
+    live = tgt >= 0
+    sink = n_rows  # dead edges sort to the sink row, dropped at the end
+    tgt = jnp.where(live, tgt, sink)
+    d = jnp.where(live, d, INF)
+    st, sd, ss = jax.lax.sort((tgt, d, src), num_keys=3, is_stable=True)
+    idx = jnp.arange(e, dtype=jnp.int32)
+    run_start = jnp.where(
+        jnp.concatenate([jnp.ones((1,), jnp.bool_), st[1:] != st[:-1]]),
+        idx, 0)
+    rank = idx - jax.lax.cummax(run_start)
+    keep = (st < n_rows) & (rank < rev_cap)
+    row = jnp.where(keep, st, sink)
+    col = jnp.where(keep, rank, 0)
+    rev = jnp.full((n_rows + 1, rev_cap), -1, jnp.int32)
+    rev_d = jnp.full((n_rows + 1, rev_cap), INF)
+    # (row, col) pairs are unique where keep; sink collisions resolve by
+    # max/min, and the sink row is dropped — deterministic either way
+    rev = rev.at[row, col].max(jnp.where(keep, ss, -1))
+    rev_d = rev_d.at[row, col].min(jnp.where(keep, sd, INF))
     return rev[:n_rows], rev_d[:n_rows]
 
 
@@ -367,15 +363,23 @@ def bulk_build(
             arows = jnp.asarray(up_base_np[sub] + (lvl - 1))
             adj_up = adj_up.at[arows].set(-1)
             continue
-        n_sub_cap = round_up(n_sub, 256)
+        # bucket the subset capacity to a power of two (min 2048) so every
+        # level ≤ the 2048 bucket shares ONE compiled shape family for the
+        # kNN/select/scatter/merge stages — per-level recompiles were a
+        # measured chunk of the 1M cold build (levels 3+ hold <300 nodes;
+        # the extra padded rows are negligible compute)
+        n_sub_cap = max(4096, next_pow2(n_sub))
         row_ids = jnp.asarray(
             np.pad(sub, (0, n_sub_cap - n_sub), constant_values=-1))
         rows = dataf[jnp.maximum(row_ids, 0)]
         rows = jnp.where((row_ids >= 0)[:, None], rows, 0.0)
         sflat = flat_from_rows(rows, metric, scan_dtype=scan_dtype,
                                n_valid=n_sub)
-        kk = max(1, min(knn_k, n_sub - 1))
-        sb = min(batch, n_sub_cap)
+        # keep kk shape-stable across levels (padding results come back as
+        # -1/inf and compact away); only clamp when the whole bucket is
+        # smaller than the ask
+        kk = max(1, min(knn_k, n_sub_cap - 1 - 32))
+        sb = min(batch, 4096, n_sub_cap)
         knn_l, knn_ld = knn_table(sflat, rows, kk, metric, batch=sb)
         del sflat
         pad_row = row_ids < 0
@@ -391,8 +395,7 @@ def bulk_build(
             jnp.maximum(row_ids, 0)].set(
             jnp.arange(n_sub_cap, dtype=jnp.int32))
         l_fwd = _local_ids(fwd_u, inv)
-        rev_u, rev_ud = reverse_scatter(l_fwd, fwd_ud, n_sub_cap, m_max + m,
-                                        chunk=min(8192, n_sub_cap))
+        rev_u, rev_ud = reverse_scatter(l_fwd, fwd_ud, n_sub_cap, m_max + m)
         g_rev = jnp.where(rev_u >= 0, row_ids[jnp.maximum(rev_u, 0)], -1)
         adj_l = _merge_rounds(vectors, scales, norms, fwd_u, fwd_ud, g_rev,
                               rev_ud, m_max, metric, slab_u, keep_pruned)
