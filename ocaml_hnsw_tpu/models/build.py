@@ -1100,6 +1100,25 @@ class BuildState:
         self.pack_dist = None
         self._packed_build: bool | None = None
 
+    # first add() of at least this many rows into an EMPTY index takes the
+    # bulk constructor (models/bulk.py) instead of incremental rounds;
+    # measured crossover is far below this — the margin keeps small indexes
+    # on the exhaustively-tested round path
+    BULK_THRESHOLD = 100_000
+
+    def _bulk_eligible(self, n_new: int) -> bool:
+        cfg = self.config
+        if self.host_n or n_new < self.BULK_THRESHOLD:
+            return False
+        # the bulk passes reproduce heuristic-select semantics only; the
+        # simple selector / extend_candidates modes keep the round path
+        if cfg.select != "heuristic" or cfg.extend_candidates:
+            return False
+        # HBM guard: f32 source + flat engine (bf16 scan + f32 rerank) +
+        # kNN tables must fit beside the graph tensors on one 16 GB chip
+        need = n_new * cfg.dim * (4 + 2 + 4) + n_new * 64 * 8
+        return need < (8 << 30)
+
     def adopt_graph(self, graph: GraphTensors) -> None:
         """Take over an existing graph (load_index / resize): installs it and
         rebuilds every host-side mirror — max level, upper-node count, arena
@@ -1269,6 +1288,22 @@ class BuildState:
         data = self.prep(data)
         n_new = data.shape[0]
         levels = sample_levels(self.rng, n_new, cfg.mL, self.l_max)
+        if self._bulk_eligible(n_new):
+            # whole-dataset first add(): construct via the MXU bulk passes
+            # (models/bulk.py — exact-kNN + Alg 4 select + sort-scatter
+            # reverse + shrink) instead of ~n/R dependent beam rounds.
+            # Levels come from THIS state's RNG stream (sampled above), so
+            # the stream position after the call matches the incremental
+            # path exactly; adopt_graph rebuilds every host mirror and the
+            # seed bank, and later add() calls stream on top incrementally.
+            from ocaml_hnsw_tpu.models.bulk import bulk_build
+
+            graph = bulk_build(
+                data, cfg, max_elements=self.max_elements + rs + 1,
+                levels=np.asarray(levels),
+            )
+            self.adopt_graph(graph)
+            return
         # arena-capacity pre-check, exact (host knows every sampled level):
         # the last arena row is the reserved scatter sink
         need = self.host_up_n + int(levels.sum())

@@ -276,11 +276,15 @@ def bulk_build(
     knn_k: int = 64,
     batch: int = 8192,
     scan_dtype: str = "bf16",
+    levels=None,
     verbose: bool = False,
 ) -> GraphTensors:
     """Construct a full GraphTensors from the complete dataset (module
     docstring).  `data`: [n, dim] host or device array.  Deterministic for a
-    fixed (data, config)."""
+    fixed (data, config).  `levels`: optional pre-sampled per-node levels
+    (BuildState's bulk path passes them from ITS RNG stream so a bulk first
+    add() leaves the stream exactly where n incremental inserts would —
+    save/resume and later streaming adds stay deterministic)."""
     from ocaml_hnsw_tpu.ops.quantize import quantize_rows
     from ocaml_hnsw_tpu.ops.metrics import get_metric
 
@@ -300,8 +304,11 @@ def bulk_build(
     keep_pruned = config.keep_pruned_connections
 
     # ---- levels: same formula/stream as the incremental builder
-    rng = np.random.RandomState(config.seed)
-    levels_np = np.asarray(sample_levels(rng, n, config.mL, l_max))
+    if levels is None:
+        rng = np.random.RandomState(config.seed)
+        levels = sample_levels(rng, n, config.mL, l_max)
+    levels_np = np.asarray(levels)
+    assert levels_np.shape == (n,)
     max_level = int(levels_np.max(initial=0))
     entry = int(np.argmax(levels_np))  # lowest id at the top level
 

@@ -127,3 +127,52 @@ class TestBulkGraph:
         r_inc = recall(np.asarray(ids_i), gt)
         assert r_bulk >= 0.93
         assert r_bulk >= r_inc - 0.01
+
+
+class TestBulkDispatch:
+    """BuildState.add routes a large first add() through bulk_build
+    (build.py _bulk_eligible) and keeps every host-side invariant that the
+    incremental path maintains."""
+
+    def test_first_add_dispatches_and_streams_on(self, monkeypatch):
+        n, dim = 1500, 16
+        data = clustered(n, dim, n_clusters=16, seed=2)
+        cfg = HnswConfig(dim=dim, M=8, ef_construction=40)
+        monkeypatch.setattr(BuildState, "BULK_THRESHOLD", 1000)
+        st = BuildState(cfg, 2500, round_size=256)
+        st.add(data)
+        # levels came from the state's own RNG stream (not config.seed's
+        # position zero twice): a fresh stream sampled once must match
+        rng = np.random.RandomState(cfg.seed)
+        want = np.asarray(sample_levels(rng, n, cfg.mL, st.l_max))
+        assert (np.asarray(st.graph.levels)[:n] == want).all()
+        assert int(st.graph.n) == n
+        assert st.host_n == n
+        assert st.host_max_level == int(np.asarray(st.graph.max_level))
+        assert st.host_up_n == int(st.graph.up_n)
+        # streaming insert on top of the adopted bulk graph
+        extra = clustered(300, dim, n_clusters=8, seed=3)
+        st.add(extra)
+        assert int(st.graph.n) == n + 300
+        q = queries_like(data, 100, seed=9)
+        gt, _ = bruteforce_knn(np.concatenate([data, extra]), q, 10)
+        seeds = build_seed_index(st.graph, "l2")
+        ids, _ = knn_search(st.graph, jnp.asarray(q), k=10, ef=64,
+                            metric="l2", seeds=seeds)
+        assert recall(np.asarray(ids), gt) >= 0.9
+
+    def test_small_or_nondefault_modes_stay_incremental(self, monkeypatch):
+        cfg = HnswConfig(dim=16, M=8, ef_construction=40)
+        st = BuildState(cfg, 2500, round_size=256)
+        assert not st._bulk_eligible(st.BULK_THRESHOLD - 1)
+        assert st._bulk_eligible(st.BULK_THRESHOLD)
+        st.host_n = 5  # non-empty index -> rounds
+        assert not st._bulk_eligible(st.BULK_THRESHOLD)
+        cfg2 = HnswConfig(dim=16, M=8, ef_construction=40, select="simple")
+        assert not BuildState(cfg2, 2500)._bulk_eligible(10**6)
+        cfg3 = HnswConfig(dim=16, M=8, ef_construction=40,
+                          extend_candidates=True)
+        assert not BuildState(cfg3, 2500)._bulk_eligible(10**6)
+        # HBM guard: a 768-d 10M add would not fit the bulk workspace
+        cfg4 = HnswConfig(dim=768, M=16, ef_construction=200)
+        assert not BuildState(cfg4, 10**7)._bulk_eligible(10**7)
