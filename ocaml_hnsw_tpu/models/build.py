@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ocaml_hnsw_tpu.config import HnswConfig
 from ocaml_hnsw_tpu.models.graph import (
-    GraphTensors, UpperView, adj_take, empty_graph,
+    GraphTensors, UpperView, adj_take, capacity, empty_graph,
 )
 from ocaml_hnsw_tpu.models.search import beam_search_layer, _greedy_level
 from ocaml_hnsw_tpu.ops.distance import (
@@ -1099,25 +1099,47 @@ class BuildState:
         self.pack_scale = None
         self.pack_dist = None
         self._packed_build: bool | None = None
+        # opt-out of the bulk first-add constructor (advisor r3): users who
+        # need reference-matching incremental construction order (bitwise
+        # graph reproducibility across versions) set this False; recall
+        # parity between the two paths is tested either way (test_bulk.py)
+        self.bulk_first_add: bool = True
+        self._warned_seed_drop = False
 
     # first add() of at least this many rows into an EMPTY index takes the
     # bulk constructor (models/bulk.py) instead of incremental rounds;
     # measured crossover is far below this — the margin keeps small indexes
     # on the exhaustively-tested round path
     BULK_THRESHOLD = 100_000
+    #: transient-workspace HBM budget for the bulk passes (of 16 GB/chip,
+    #: leaving room for the graph tensors the build allocates either way)
+    BULK_BUDGET_BYTES = 8 << 30
 
     def _bulk_eligible(self, n_new: int) -> bool:
         cfg = self.config
+        if not self.bulk_first_add:
+            return False
         if self.host_n or n_new < self.BULK_THRESHOLD:
+            return False
+        # bulk_build pads every pass to the index CAPACITY, so a sparse
+        # first add into a much larger index would pay ~capacity/n_new
+        # extra compute vs the round path (and the workspace scales the
+        # same way) — bulk only when the first batch mostly fills the index
+        if 2 * n_new < self.max_elements:
             return False
         # the bulk passes reproduce heuristic-select semantics only; the
         # simple selector / extend_candidates modes keep the round path
         if cfg.select != "heuristic" or cfg.extend_candidates:
             return False
-        # HBM guard: f32 source + flat engine (bf16 scan + f32 rerank) +
-        # kNN tables must fit beside the graph tensors on one 16 GB chip
-        need = n_new * cfg.dim * (4 + 2 + 4) + n_new * 64 * 8
-        return need < (8 << 30)
+        # HBM guard, sized from the capacity-padded workspace bulk_build
+        # actually allocates (advisor r3: the old n_new-based estimate
+        # passed at shapes that OOM'd on a 16 GB chip)
+        from ocaml_hnsw_tpu.models.bulk import bulk_workspace_bytes
+
+        n_cap = capacity(self.max_elements + self.round_size + 1)
+        need = bulk_workspace_bytes(n_cap, cfg.dim, m=cfg.M,
+                                    m_max0=cfg.M_max0)
+        return need < self.BULK_BUDGET_BYTES
 
     def adopt_graph(self, graph: GraphTensors) -> None:
         """Take over an existing graph (load_index / resize): installs it and
@@ -1396,6 +1418,22 @@ class BuildState:
             self.host_max_level = max(self.host_max_level, int(tail.max()))
             self.host_upper_count += int((tail >= 1).sum())
             self.host_n += int(sum(c for _, c in rounds))
+            bank_cap = int(self.seed_bank.shape[0])
+            if self.host_upper_count > bank_cap and not self._warned_seed_drop:
+                # the device-side append silently drops beyond capacity —
+                # correct (entry quality only degrades) but worth one log
+                # line when it actually happens (capacity has 3x headroom
+                # over E[n/M], so this fires only at pathological level
+                # distributions)
+                import warnings
+
+                warnings.warn(
+                    f"seed bank full: {self.host_upper_count} upper nodes > "
+                    f"capacity {bank_cap}; newest upper nodes won't seed "
+                    "entry scans (recall may need slightly higher ef)",
+                    RuntimeWarning, stacklevel=2,
+                )
+                self._warned_seed_drop = True
 
 
 def build(data: np.ndarray, config: HnswConfig,

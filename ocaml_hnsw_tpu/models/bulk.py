@@ -70,6 +70,36 @@ from ocaml_hnsw_tpu.ops.sortmerge import next_pow2
 from ocaml_hnsw_tpu.utils import round_up
 
 
+# ----------------------------------------------------------- workspace guard
+def bulk_workspace_bytes(n_cap: int, dim: int, m: int, m_max0: int,
+                         knn_k: int = 64) -> int:
+    """Transient HBM residency of bulk_build's n_cap-scaled workspace,
+    BEYOND the graph tensors themselves (which the round path allocates
+    too).  Pure arithmetic so eligibility is testable without allocating a
+    full-capacity BuildState (advisor r3).  Terms, in bulk_build order:
+
+      - f32 source copy `src` [n_cap, d_pad]               (4 B)
+      - flat engine: bf16 scan + f32 rerank rows           (2 + 4 B)
+      - kNN tables ids+dists [n_cap, knn_k]                (4 + 4 B)
+      - forward select ids+dists [n_cap, m]                (8 B)
+      - reverse table ids+dists [n_cap, m_max0 + m]        (8 B)
+      - reverse_scatter: 3 sort lanes over n_cap*m keys (i32,f32,i32),
+        doubled for the sort's out-of-place buffers
+
+    The lane dimension pads to 128 on TPU (f32/bf16 tile layout), so dim
+    enters as d_pad — at dim=96 the true rows are 128 wide in HBM."""
+    d_pad = round_up(dim, 128)
+    rev_cap = m_max0 + m
+    per_row = (
+        d_pad * (4 + 2 + 4)
+        + knn_k * 8
+        + m * 8
+        + rev_cap * 8
+        + m * 12 * 2
+    )
+    return n_cap * per_row
+
+
 # --------------------------------------------------------------- flat loader
 def flat_from_rows(rows, metric: str, scan_dtype: str = "bf16",
                    n_valid=None, chunk: int = 262144):

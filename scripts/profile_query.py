@@ -55,6 +55,8 @@ def main():
     ap.add_argument("--mi", type=int, default=15)
     ap.add_argument("--build-mi", type=int, default=0,
                     help="build-beam cap (0 = none)")
+    ap.add_argument("--load", default=None,
+                    help="load a saved index npz (skips build)")
     args = ap.parse_args()
 
     from ocaml_hnsw_tpu.config import HnswConfig
@@ -89,13 +91,21 @@ def main():
     del flat
 
     t0 = time.perf_counter()
-    state = BuildState(cfg, n, round_size=2048)
-    if args.build_mi:
-        state.build_mi = args.build_mi
-    state.add(data)
-    sync(state.graph.n)
-    print(f"[qstage] built in {time.perf_counter()-t0:.1f}s", flush=True)
-    graph = state.graph
+    if args.load:
+        from ocaml_hnsw_tpu.io import load_index_file
+
+        graph, _, _, _, _, _ = load_index_file(args.load)
+        sync(graph.n)
+        print(f"[qstage] loaded in {time.perf_counter()-t0:.1f}s", flush=True)
+    else:
+        state = BuildState(cfg, n, round_size=2048)
+        if args.build_mi:
+            state.build_mi = args.build_mi
+        state.add(data)
+        sync(state.graph.n)
+        print(f"[qstage] built in {time.perf_counter()-t0:.1f}s", flush=True)
+        graph = state.graph
+    del data
     seeds = build_seed_index(graph, "l2")
     packed = pack_graph(graph, "l2")
     sync(packed.scale)

@@ -1,8 +1,14 @@
 #!/usr/bin/env python3
-"""Query-engine experiment lab: build 1M once, then sweep packed-engine
-knobs (deg_limit, rerank_k, ef, max_iters, expand) for recall/QPS crossings.
+"""Query-engine experiment lab: build 1M once (or --load a saved index),
+then sweep packed-engine knobs (deg_limit, rerank_k, ef, max_iters, expand)
+across one or more distilled serving adjacencies (models/refine.py) for
+recall/QPS crossings.
 
-Usage: python scripts/qlab.py [--n 1000000]
+Usage:
+  python scripts/qlab.py --save /tmp/qlab1m.npz           # build once
+  python scripts/qlab.py --load /tmp/qlab1m.npz \
+      --refine-sweep "none;20:0;20:1;24:1" \
+      --sweep "none,96,15,4,32;none,96,18,4,64"
 """
 
 import argparse
@@ -30,17 +36,18 @@ def main():
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--queries", type=int, default=2000)
+    ap.add_argument("--save", default=None, help="save the built index here")
+    ap.add_argument("--load", default=None, help="load a saved index (skips build)")
     ap.add_argument("--sweep", default=(
         # (deg_limit, ef, mi, expand, rerank_k)
         "none,96,15,4,32;"        # packed-payload baseline
-        "none,96,15,4,16;"        # cheaper rerank
-        "16,96,18,4,32;"          # deg_limit ladder
-        "16,96,20,4,32;"
-        "16,96,22,4,32"
+        "none,96,18,4,64;"
+        "none,96,21,4,64"
     ))
-    ap.add_argument("--refine", default=None,
-                    help="OUT_DEG[:HOPS] — distill the serving adjacency "
-                    "(models/refine.py) and run the sweep against it")
+    ap.add_argument("--refine-sweep", default="none",
+                    help="semicolon list of serving adjacencies: 'none' or "
+                    "OUT_DEG[:HOPS]; each runs the full --sweep")
     args = ap.parse_args()
 
     from ocaml_hnsw_tpu.config import HnswConfig
@@ -60,47 +67,76 @@ def main():
     print(f"[qlab] dataset n={n} dim={dim} batch={b}", flush=True)
     data, make_q = datasets.clustered_device(
         n, dim, n_clusters=max(64, n // 2500), seed=7)
-    queries = make_q(1000, qseed=8)
-    flat = build_flat(data, "l2")
-    gt = device_ground_truth(flat, queries, k, "l2")
-    del flat
+    queries = make_q(args.queries, qseed=8)
+    gt = device_ground_truth(data, queries, k, "l2")
 
-    t0 = time.perf_counter()
-    state = BuildState(cfg, n, round_size=2048)
-    state.add(data)
-    sync(state.graph.n)
-    print(f"[qlab] built in {time.perf_counter()-t0:.1f}s", flush=True)
-    graph = state.graph
-    seeds = build_seed_index(graph, "l2")
-    if args.refine:
-        from ocaml_hnsw_tpu.models.refine import refined_graph
+    if args.load:
+        from ocaml_hnsw_tpu.io import load_index_file
 
-        parts = args.refine.split(":")
-        out_deg, hops = int(parts[0]), int(parts[1]) if len(parts) > 1 else 0
         t0 = time.perf_counter()
-        graph = refined_graph(graph, out_deg, "l2", hops=hops)
-        sync(graph.adj0)
-        print(f"[qlab] refined to deg={out_deg} hops={hops} in "
-              f"{time.perf_counter()-t0:.1f}s", flush=True)
-    packed = pack_graph(graph, "l2")
-    sync(packed.scale)
+        base_graph, lcfg, _, _, _, _ = load_index_file(args.load)
+        sync(base_graph.n)
+        del data
+        print(f"[qlab] loaded {args.load} in {time.perf_counter()-t0:.1f}s",
+              flush=True)
+    else:
+        t0 = time.perf_counter()
+        state = BuildState(cfg, n, round_size=2048)
+        state.add(data)
+        sync(state.graph.n)
+        del data
+        print(f"[qlab] built in {time.perf_counter()-t0:.1f}s", flush=True)
+        base_graph = state.graph
+        if args.save:
+            from ocaml_hnsw_tpu.io import save_index_file
 
-    for spec in args.sweep.split(";"):
-        parts = spec.split(",")
-        dl_s, ef_s, mi_s, e_s, rk_s = parts[:5]
-        dl = None if dl_s.strip() == "none" else int(dl_s)
-        ef, mi, e, rk = int(ef_s), int(mi_s), int(e_s), int(rk_s)
+            save_index_file(args.save, base_graph, cfg,
+                            np.arange(n, dtype=np.int64))
+            print(f"[qlab] saved to {args.save}", flush=True)
+    seeds = build_seed_index(base_graph, "l2")
 
-        def run(q):
-            return knn_search_packed(
-                graph, packed, q, k=k, ef=ef, metric="l2", max_iters=mi,
-                expand=e, seeds=seeds, seed_e=8, rerank_k=rk,
-                deg_limit=dl)[0]
-        ids = run(queries)
-        r = recall_of(np.asarray(ids), gt)
-        qps = measure_qps(run, queries, batch=b)
-        print(f"[qlab] dl={dl} ef={ef} mi={mi} e={e} rk={rk}: "
-              f"recall={r:.4f} qps={qps:.0f}", flush=True)
+    for rspec in args.refine_sweep.split(";"):
+        rspec = rspec.strip()
+        if rspec == "none":
+            graph = base_graph
+            tag = "full"
+        else:
+            from ocaml_hnsw_tpu.models.refine import refined_graph
+
+            parts = rspec.split(":")
+            out_deg = int(parts[0])
+            hops = int(parts[1]) if len(parts) > 1 else 0
+            t0 = time.perf_counter()
+            graph = refined_graph(base_graph, out_deg, "l2", hops=hops)
+            sync(graph.adj0)
+            tag = f"deg{out_deg}h{hops}"
+            print(f"[qlab] refined to {tag} in "
+                  f"{time.perf_counter()-t0:.1f}s", flush=True)
+        packed = pack_graph(graph, "l2")
+        sync(packed.scale)
+        print(f"[qlab] {tag}: payload {packed.pay.nbytes/2**30:.2f} GiB "
+              f"deg={packed.deg} chunks={packed.chunks}x"
+              f"{packed.pay.shape[1]}B", flush=True)
+
+        for spec in args.sweep.split(";"):
+            parts = spec.split(",")
+            dl_s, ef_s, mi_s, e_s, rk_s = parts[:5]
+            dl = None if dl_s.strip() == "none" else int(dl_s)
+            ef, mi, e, rk = int(ef_s), int(mi_s), int(e_s), int(rk_s)
+
+            def run(q):
+                return knn_search_packed(
+                    graph, packed, q, k=k, ef=ef, metric="l2", max_iters=mi,
+                    expand=e, seeds=seeds, seed_e=8, rerank_k=rk,
+                    deg_limit=dl)[0]
+            ids = run(queries)
+            r = recall_of(np.asarray(ids), gt)
+            qps = measure_qps(run, queries, batch=b)
+            print(f"[qlab] {tag} dl={dl} ef={ef} mi={mi} e={e} rk={rk}: "
+                  f"recall={r:.4f} qps={qps:.0f}", flush=True)
+        del packed
+        if graph is not base_graph:
+            del graph
 
 
 if __name__ == "__main__":

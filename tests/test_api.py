@@ -239,6 +239,28 @@ class TestFlatIndex:
         fi2.unmark_deleted(54)
         assert fi2.knn_query(data[4], k=1)[0][0, 0] == 54
 
+    def test_resize_on_load_grows_tensors(self, tmp_path):
+        """load_index(max_elements=...) must actually grow capacity so
+        subsequent add_items works (VERDICT r3: the count-only bump let
+        add_items overrun the tensors)."""
+        from ocaml_hnsw_tpu.api import FlatIndex
+        data = clustered(4100, 16, n_clusters=8, seed=29)
+        fi = FlatIndex(space="l2", dim=16)
+        fi.init_index(max_elements=4100)
+        fi.add_items(data[:4100])
+        p = tmp_path / "flat_rs.npz"
+        fi.save_index(p)
+        fi2 = FlatIndex(space="l2", dim=16)
+        fi2.load_index(p, max_elements=8200)
+        assert fi2.max_elements == 8200
+        assert fi2._flat.n_cap >= 8200
+        extra = clustered(4100, 16, n_clusters=8, seed=30)
+        fi2.add_items(extra, ids=np.arange(4100) + 10_000)
+        assert fi2.get_current_count() == 8200
+        # new rows are searchable, old rows survived the re-pad
+        assert fi2.knn_query(extra[7], k=1)[0][0, 0] == 10_007
+        assert fi2.knn_query(data[3], k=1)[0][0, 0] == 3
+
     def test_cosine(self):
         from ocaml_hnsw_tpu.api import FlatIndex
         data = clustered(500, 16, n_clusters=10, seed=23)

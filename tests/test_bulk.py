@@ -163,16 +163,42 @@ class TestBulkDispatch:
 
     def test_small_or_nondefault_modes_stay_incremental(self, monkeypatch):
         cfg = HnswConfig(dim=16, M=8, ef_construction=40)
-        st = BuildState(cfg, 2500, round_size=256)
+        st = BuildState(cfg, 200_001, round_size=256)
         assert not st._bulk_eligible(st.BULK_THRESHOLD - 1)
-        assert st._bulk_eligible(st.BULK_THRESHOLD)
+        assert st._bulk_eligible(st.BULK_THRESHOLD + 1)
         st.host_n = 5  # non-empty index -> rounds
-        assert not st._bulk_eligible(st.BULK_THRESHOLD)
+        assert not st._bulk_eligible(st.BULK_THRESHOLD + 1)
+        st.host_n = 0
+        st.bulk_first_add = False  # explicit opt-out (advisor r3)
+        assert not st._bulk_eligible(st.BULK_THRESHOLD + 1)
         cfg2 = HnswConfig(dim=16, M=8, ef_construction=40, select="simple")
         assert not BuildState(cfg2, 2500)._bulk_eligible(10**6)
         cfg3 = HnswConfig(dim=16, M=8, ef_construction=40,
                           extend_candidates=True)
         assert not BuildState(cfg3, 2500)._bulk_eligible(10**6)
-        # HBM guard: a 768-d 10M add would not fit the bulk workspace
-        cfg4 = HnswConfig(dim=768, M=16, ef_construction=200)
-        assert not BuildState(cfg4, 10**7)._bulk_eligible(10**7)
+
+    def test_sparse_first_add_keeps_round_path(self, monkeypatch):
+        """A first batch much smaller than the index capacity would pay
+        capacity-padded compute in every bulk pass — rounds instead."""
+        cfg = HnswConfig(dim=16, M=8, ef_construction=40)
+        monkeypatch.setattr(BuildState, "BULK_THRESHOLD", 1000)
+        st = BuildState(cfg, 10_000, round_size=256)
+        assert not st._bulk_eligible(1200)   # 2*1200 < 10_000
+        assert st._bulk_eligible(5000)
+
+    def test_hbm_guard_uses_capacity_not_batch(self):
+        """The guard sizes the workspace from the padded index CAPACITY
+        (what bulk_build allocates), not the first-batch row count — probed
+        via the pure arithmetic, no tensor allocation (advisor r3)."""
+        from ocaml_hnsw_tpu.models.bulk import bulk_workspace_bytes
+        from ocaml_hnsw_tpu.models.graph import capacity
+
+        # 768-d 10M: workspace alone far exceeds one 16 GB chip
+        need = bulk_workspace_bytes(capacity(10**7), 768, m=16, m_max0=32)
+        assert need >= BuildState.BULK_BUDGET_BYTES
+        # 128-d 1M (the headline shape) comfortably fits
+        need = bulk_workspace_bytes(capacity(10**6), 128, m=16, m_max0=32)
+        assert need < BuildState.BULK_BUDGET_BYTES
+        # dim=96 pads to 128 lanes: equal workspace to dim=128
+        assert bulk_workspace_bytes(capacity(10**6), 96, m=16, m_max0=32) \
+            == need
