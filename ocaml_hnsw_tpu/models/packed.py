@@ -101,11 +101,17 @@ class PackedGraph(NamedTuple):
         return (self.pay.shape[1] * self.chunks) // self.deg
 
 
-def _chunk_width(total: int) -> int:
-    """Chunk rows of ~2 KB (the measured sweet spot: 2048 B rows gather at
-    46 GB/s; 512 B rows at 30; >4 KB rows fall off the fat-row cliff)."""
-    for w in (2048, 1536, 1280, 1024, 512, 256, 128):
-        if total % w == 0 and total // w >= 1:
+def _chunk_width(total: int, max_chunk: int = 2048) -> int:
+    """Chunk rows of <= max_chunk bytes.  The gather is DESCRIPTOR-bound
+    (~90 M rows/s regardless of row width up to the fat-row cliff —
+    BASELINE.md), so fewer/fatter chunks win: scripts/gather_width_bench.py
+    measures where the cliff actually is; callers raise max_chunk to fetch
+    each node's payload as ONE row (e.g. 4096 at deg=32 x 128-d int8).
+    Default 2048 = the round-3 validated layout."""
+    if total <= max_chunk:
+        return total
+    for w in (4096, 3584, 3072, 2560, 2048, 1536, 1280, 1024, 512, 256, 128):
+        if w <= max_chunk and total % w == 0 and total // w >= 1:
             return w
     return total
 
@@ -131,18 +137,39 @@ def _int8_sqnorm(y):
     return jnp.sum(yi * yi, axis=-1)
 
 
+def _nibble_pack(y):
+    """int8 values in [-8, 7] -> nibble-packed int8, two per byte along the
+    last axis: byte j = (y[2j+1] << 4) | (y[2j] & 0xF)."""
+    lo = y[..., 0::2]
+    hi = y[..., 1::2]
+    return ((hi.astype(jnp.int32) << 4)
+            | (lo.astype(jnp.int32) & 0xF)).astype(jnp.int8)
+
+
+def nibble_unpack_bf16(v):
+    """Packed int4 bytes -> (lo, hi) bf16 planes (each [-8, 7]); lo holds
+    even dims, hi odd dims.  The XOR trick decodes the signed low nibble
+    without a widening shift: ((v & 0xF) ^ 8) - 8."""
+    vi = v.astype(jnp.int32)
+    lo = ((vi & 0xF) ^ 8) - 8
+    hi = (vi >> 4)  # arithmetic shift: signed high nibble directly
+    return lo.astype(jnp.bfloat16), hi.astype(jnp.bfloat16)
+
+
 @partial(jax.jit, static_argnames=("d_pad", "w", "slab", "metric",
-                                   "with_dist"))
+                                   "with_dist", "bits"))
 def _pack_rounds(vectors, scales, adj0, inv_s, d_pad: int, w: int, slab: int,
-                 metric: str = "l2", with_dist: bool = False):
+                 metric: str = "l2", with_dist: bool = False, bits: int = 8):
     from ocaml_hnsw_tpu.ops.metrics import get_metric
 
     n_cap, deg = adj0.shape
     d = vectors.shape[1]
-    c = (deg * d_pad) // w
+    stored = d_pad if bits == 8 else d_pad // 2  # bytes per neighbor
+    c = (deg * stored) // w
     pay = jnp.zeros((n_cap * c, w), jnp.int8)
     meta = jnp.zeros((n_cap, 2 * deg), jnp.int32)
     dist = jnp.full((n_cap, deg), INF) if with_dist else None
+    qmax = 127 if bits == 8 else 7
 
     def body(i, carry):
         pay, meta, dist = carry
@@ -152,7 +179,7 @@ def _pack_rounds(vectors, scales, adj0, inv_s, d_pad: int, w: int, slab: int,
         rows = vectors[safe].astype(jnp.float32)
         if vectors.dtype == jnp.int8:
             rows = rows * scales[safe][:, :, None]
-        y = jnp.clip(jnp.round(rows * inv_s), -127, 127).astype(jnp.int8)
+        y = jnp.clip(jnp.round(rows * inv_s), -qmax, qmax).astype(jnp.int8)
         nrm = _int8_sqnorm(y)  # [S, deg] int32, exact
         if with_dist:
             own = jax.lax.dynamic_slice_in_dim(vectors, start, slab)
@@ -165,6 +192,8 @@ def _pack_rounds(vectors, scales, adj0, inv_s, d_pad: int, w: int, slab: int,
             dist = jax.lax.dynamic_update_slice_in_dim(dist, dd, start, 0)
         if d_pad > d:
             y = jnp.pad(y, ((0, 0), (0, 0), (0, d_pad - d)))
+        if bits == 4:
+            y = _nibble_pack(y)
         pay = jax.lax.dynamic_update_slice_in_dim(
             pay, y.reshape(slab * c, w), start * c, 0
         )
@@ -177,7 +206,8 @@ def _pack_rounds(vectors, scales, adj0, inv_s, d_pad: int, w: int, slab: int,
 
 
 def pack_graph(graph: GraphTensors, metric: str,
-               scale=None, with_dist: bool = False) -> PackedGraph:
+               scale=None, with_dist: bool = False,
+               max_chunk: int = 2048, bits: int = 8) -> PackedGraph:
     """Build the inline-neighbor payload from a (re)built graph.
 
     One pass over adjacency in HBM-friendly slabs; the global scale is the
@@ -192,13 +222,17 @@ def pack_graph(graph: GraphTensors, metric: str,
             f"metric {metric!r} has no matmul_score; the packed engine's "
             "int8 dot path needs one — use the classic knn_search"
         )
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
     deg = graph.adj0.shape[1]
     d_pad = pack_d_pad(graph.dim)
-    w = _chunk_width(deg * d_pad)
+    stored = d_pad if bits == 8 else d_pad // 2
+    w = _chunk_width(deg * stored, max_chunk)
     n_cap = graph.n_cap
     slab = min(8192, n_cap)
     while n_cap % slab:
         slab //= 2
+    grid = 127.0 if bits == 8 else 7.0
     if scale is None:
         vmax = jnp.max(jnp.abs(graph.vectors.astype(jnp.float32)))
         if graph.vectors.dtype == jnp.int8:
@@ -206,12 +240,13 @@ def pack_graph(graph: GraphTensors, metric: str,
                 jnp.abs(graph.vectors.astype(jnp.float32))
                 * graph.scales[:, None]
             )
-        s = jnp.maximum(vmax / 127.0, 1e-30)
+        s = jnp.maximum(vmax / grid, 1e-30)
     else:
         s = jnp.maximum(jnp.asarray(scale, jnp.float32), 1e-30)
     pay, meta, dist = _pack_rounds(
         graph.vectors, graph.scales, graph.adj0, 1.0 / s,
         d_pad=d_pad, w=w, slab=slab, metric=metric, with_dist=with_dist,
+        bits=bits,
     )
     return PackedGraph(pay=pay, meta=meta, scale=s.astype(jnp.float32),
                        dist=dist)
@@ -286,7 +321,7 @@ def refresh_payload_rows(packed: PackedGraph, vectors, scales, adj0, rows,
 
 def beam_search_layer_packed(
     packed: PackedGraph,
-    q8,  # int8[B, D_pad]
+    q8,  # int8[B, D_pad] (bits=8) or bf16[B, D_pad] q/s (bits=4)
     qn,  # f32[B]  ‖q‖² (zeros for ip/cosine)
     entry_ids,  # i32[B, E0]
     entry_d,  # f32[B, E0]
@@ -295,6 +330,11 @@ def beam_search_layer_packed(
     max_iters: int,
     expand: int = 4,
     deg_limit: int | None = None,
+    early_exit: bool = True,
+    bits: int = 8,
+    init_pk=None,
+    init_d=None,
+    raw_state: bool = False,
 ):
     """The packed layer-0 beam loop: per iteration, expand the E nearest
     unexpanded beam nodes by gathering their meta row (ids+norms) and payload
@@ -303,6 +343,12 @@ def beam_search_layer_packed(
     visited mode); distances land in true-f32 domain so the shared bitonic
     merge applies unchanged.  Returns (ids, d, iters) like the classic
     layer.
+
+    init_pk/init_d: resume from a previous phase's raw beam state (packed
+    (id, expanded) lanes + distances) instead of seeding from entries —
+    the expand-schedule path (knn_search_packed) chains a wide beam-filling
+    phase into a narrow cruising phase without re-expanding phase-1 work.
+    raw_state=True returns (beam_pk, beam_d, iters) unshifted for chaining.
 
     deg_limit: expand only each node's first `deg_limit` neighbors.
     Adjacency rows are distance-ascending (build compaction sorts them), so
@@ -313,33 +359,39 @@ def beam_search_layer_packed(
     rounds up to a chunk boundary."""
     b = q8.shape[0]
     deg, c, w = packed.deg, packed.chunks, packed.pay.shape[1]
-    d_pad = packed.d_pad
+    stored = packed.d_pad  # BYTES per neighbor (d_pad/2 when bits=4)
     if deg_limit is not None and deg_limit < deg:
-        # whole chunks only: each chunk row holds w/d_pad neighbor vectors
-        per_chunk = max(1, w // d_pad)
+        # whole chunks only: each chunk row holds w/stored neighbor vectors
+        per_chunk = max(1, w // stored)
         c = max(1, -(-deg_limit // per_chunk))  # ceil
         deg = min(deg, c * per_chunk)
     c_full = packed.chunks
     expand = max(1, min(expand, ef))
     s2 = packed.scale * packed.scale
 
-    uniq = first_occurrence_mask(entry_ids) & (entry_ids >= 0)
-    entry_ids = jnp.where(uniq, entry_ids, -1)
-    entry_d = jnp.where(uniq, entry_d, INF)
-    beam_ids, beam_d = entries_to_beam(entry_ids, entry_d, ef)
-    # beam state packs (id, expanded) into ONE int32 — pk = 2·id + exp — so
-    # the bitonic merge carries a single payload lane instead of two (each
-    # compare-exchange stage does one fewer masked-select + permute over
-    # [B, 2·p2]; measured ~-0.9 ms/iter at the headline shape).  Sentinel
-    # id=-1 packs to -1 (= 2·(-1)+1: expanded), so `pk & 1` and `pk >> 1`
-    # (arithmetic shift) decode both fields with sign intact.
-    beam_pk = jnp.where(beam_ids < 0, -1, beam_ids * 2)
+    if init_pk is not None:
+        beam_pk, beam_d = init_pk, init_d
+    else:
+        uniq = first_occurrence_mask(entry_ids) & (entry_ids >= 0)
+        entry_ids = jnp.where(uniq, entry_ids, -1)
+        entry_d = jnp.where(uniq, entry_d, INF)
+        beam_ids, beam_d = entries_to_beam(entry_ids, entry_d, ef)
+        # beam state packs (id, expanded) into ONE int32 — pk = 2·id + exp —
+        # so the bitonic merge carries a single payload lane instead of two
+        # (each compare-exchange stage does one fewer masked-select + permute
+        # over [B, 2·p2]; measured ~-0.9 ms/iter at the headline shape).
+        # Sentinel id=-1 packs to -1 (= 2·(-1)+1: expanded), so `pk & 1` and
+        # `pk >> 1` (arithmetic shift) decode both fields with sign intact.
+        beam_pk = jnp.where(beam_ids < 0, -1, beam_ids * 2)
 
     def cond(state):
         beam_pk, _, it = state
         return jnp.any((beam_pk & 1) == 0) & (it < max_iters)
 
     q16 = q8.astype(jnp.bfloat16)
+    if bits == 4:
+        q16e = q16[:, 0::2]  # even dims pair with low nibbles
+        q16o = q16[:, 1::2]
 
     def body(state):
         beam_pk, beam_d, it = state
@@ -367,17 +419,30 @@ def beam_search_layer_packed(
         # payload chunk rows -> [B, E, deg, D_pad] int8 (relayout-free view)
         cid = (safe[:, :, None] * c_full
                + jnp.arange(c, dtype=jnp.int32)[None, None, :]).reshape(b, -1)
-        vec8 = packed.pay[cid].reshape(b, expand, deg, d_pad)
+        vec8 = packed.pay[cid].reshape(b, expand, deg, stored)
         # dot as a bf16 elementwise multiply-reduce: the int8 dot_general /
         # einsum forms all cost +3.2 ms/iter at this shape (lane-dim int32
         # reduce); bf16 fma + f32 accumulate measured +1.95.  int8 values are
         # exact in bf16; products round to 8 significand bits — noise well
         # under the global-scale quantization error, and the final exact-f32
         # rerank absorbs both.
-        dot = jnp.sum(
-            vec8.astype(jnp.bfloat16) * q16[:, None, None, :],
-            axis=-1, dtype=jnp.float32,
-        )
+        if bits == 8:
+            dot = jnp.sum(
+                vec8.astype(jnp.bfloat16) * q16[:, None, None, :],
+                axis=-1, dtype=jnp.float32,
+            )
+        else:
+            # int4 payload: HALF the gathered bytes of int8 at equal deg —
+            # the loop is payload-bandwidth-bound (scripts/iterlab.py:
+            # gather = 4.69 of 7.05 ms/iter at 2x2048B), so nibble-packing
+            # buys ~2.3 ms/iter for one extra unpack.  The query rides as
+            # FRACTIONAL bf16 on the s-grid (q/s, not rounded) — only the
+            # stored side pays the coarse grid.
+            lo, hi = nibble_unpack_bf16(vec8)
+            dot = jnp.sum(
+                lo * q16e[:, None, None, :] + hi * q16o[:, None, None, :],
+                axis=-1, dtype=jnp.float32,
+            )
         if needs_norms:
             d = s2 * (nrm - 2.0 * dot) + qn[:, None, None]
         else:
@@ -395,9 +460,21 @@ def beam_search_layer_packed(
         )
         return beam_pk, beam_d, it + 1
 
-    beam_pk, beam_d, iters = jax.lax.while_loop(
-        cond, body, (beam_pk, beam_d, jnp.int32(0))
-    )
+    if early_exit:
+        beam_pk, beam_d, iters = jax.lax.while_loop(
+            cond, body, (beam_pk, beam_d, jnp.int32(0))
+        )
+    else:
+        # capped-iteration serving mode: at the headline operating points
+        # (mi≈15, B=8192) essentially no beam converges before the cap, so
+        # the while_loop's any() over [B, ef] each iteration — a full-state
+        # reduction feeding the loop predicate — is pure overhead; fori_loop
+        # drops it
+        beam_pk, beam_d, iters = jax.lax.fori_loop(
+            0, max_iters, lambda i, s: body(s), (beam_pk, beam_d, jnp.int32(0))
+        )
+    if raw_state:
+        return beam_pk, beam_d, iters
     return beam_pk >> 1, beam_d, iters
 
 
@@ -416,7 +493,7 @@ def beam_search_layer_packed(
     jax.jit,
     static_argnames=(
         "k", "ef", "metric", "max_iters", "expand", "seed_e", "rerank_k",
-        "deg_limit",
+        "deg_limit", "early_exit", "bits", "expand_schedule",
     ),
 )
 def knn_search_packed(
@@ -432,6 +509,9 @@ def knn_search_packed(
     seed_e: int = 16,
     rerank_k: int | None = None,
     deg_limit: int | None = None,
+    early_exit: bool = True,
+    bits: int = 8,
+    expand_schedule: tuple | None = None,
 ):
     """Alg 5 on the packed engine: seed-scan (or greedy) entry, packed int8
     beam at layer 0, then an exact-f32 rerank of the top `rerank_k` beam
@@ -454,15 +534,35 @@ def knn_search_packed(
     else:
         cur, cur_d = descend(graph, q, qn, metric, stop_level=0)
         entry_ids, entry_d = cur[:, None], cur_d[:, None]
-    d_pad = packed.d_pad
-    q8 = quantize_queries(q, packed.scale)
+    d_pad = packed.d_pad * (1 if bits == 8 else 2)  # logical query width
+    if bits == 8:
+        q8 = quantize_queries(q, packed.scale)
+    else:
+        # fractional bf16 on the payload's s-grid (see beam docstring)
+        q8 = (q / packed.scale).astype(jnp.bfloat16)
     if d_pad > q8.shape[1]:
         q8 = jnp.pad(q8, ((0, 0), (0, d_pad - q8.shape[1])))
-    ids, d, _ = beam_search_layer_packed(
-        packed, q8, qn, entry_ids, entry_d, ef,
-        needs_norms=needs_norms, max_iters=max_iters, expand=expand,
-        deg_limit=deg_limit,
-    )
+    if expand_schedule is not None:
+        # phased beam: e.g. ((8, 2), (2, 26)) fills the beam with two WIDE
+        # expansions from the seed entries (8·deg candidates each — beam
+        # ramp-up in 2 serial steps instead of ~10 narrow ones), then
+        # cruises at the cheap narrow width.  Expanded flags carry across
+        # phases via the raw (pk, d) state, so no work repeats.
+        state = (None, None)
+        for e_p, mi_p in expand_schedule:
+            state = beam_search_layer_packed(
+                packed, q8, qn, entry_ids, entry_d, ef,
+                needs_norms=needs_norms, max_iters=mi_p, expand=e_p,
+                deg_limit=deg_limit, early_exit=False, bits=bits,
+                init_pk=state[0], init_d=state[1], raw_state=True,
+            )[:2]
+        ids, d = state[0] >> 1, state[1]
+    else:
+        ids, d, _ = beam_search_layer_packed(
+            packed, q8, qn, entry_ids, entry_d, ef,
+            needs_norms=needs_norms, max_iters=max_iters, expand=expand,
+            deg_limit=deg_limit, early_exit=early_exit, bits=bits,
+        )
     # tombstone filter on the approx beam, keep top rerank_k live candidates.
     # The beam arrives sorted; dead entries perturb that, so both selections
     # are small bitonic sorts (lax.top_k has a multi-ms floor per call).

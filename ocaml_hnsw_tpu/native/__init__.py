@@ -105,6 +105,8 @@ class NativeHNSW:
         return int(_lib().hnsw_ref_count(self._h))
 
     def __del__(self):
-        if getattr(self, "_h", None):
-            _lib().hnsw_ref_free(self._h)
+        # _lib_handle may already be torn down at interpreter shutdown;
+        # losing the free there is fine (the process is exiting)
+        if getattr(self, "_h", None) and _lib_handle is not None:
+            _lib_handle.hnsw_ref_free(self._h)
             self._h = None

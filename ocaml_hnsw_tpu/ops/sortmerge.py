@@ -119,21 +119,33 @@ def merge_into_beam(beam_d, beam_payloads, cand_d, cand_payloads, ef: int):
 
     beam: f32[B, ef] ascending (+inf padded).  cand: f32[B, C] unsorted.
     Returns (d, payloads) of width ef, ascending.  Pure compare-exchange
-    network: sort candidates descending, pad both sides to a common power of
-    two, then one bitonic merge.
+    network: sort candidates descending AT THEIR OWN power-of-two width
+    (when C < ef this is the bulk of the merge's stage count — a C=64
+    candidate block sorts in 21 stages at width 64 instead of 28 at the
+    beam-padded 128), pad to the common width, then one bitonic merge.
+    +inf padding goes at the FRONT of the descending run (prepending infs
+    keeps it descending), so beam(asc)++cand(desc) stays bitonic.
     """
     c = cand_d.shape[-1]
     p2 = next_pow2(max(ef, c))
-    # candidates: sort descending at their own (padded) width
-    if c < p2:
-        cand_d = jnp.pad(cand_d, ((0, 0), (0, p2 - c)), constant_values=jnp.inf)
-        cand_payloads = [
-            jnp.pad(p, ((0, 0), (0, p2 - c)), constant_values=fill)
-            for p, fill in cand_payloads
+    p2c = next_pow2(c)
+    fills = [f for _, f in cand_payloads]
+    cps = [p for p, _ in cand_payloads]
+    if c < p2c:
+        cand_d = jnp.pad(cand_d, ((0, 0), (0, p2c - c)),
+                         constant_values=jnp.inf)
+        cps = [
+            jnp.pad(p, ((0, 0), (0, p2c - c)), constant_values=f)
+            for p, f in zip(cps, fills)
         ]
-    else:
-        cand_payloads = [p for p, _ in cand_payloads]
-    cd, cp = bitonic_sort(cand_d, cand_payloads, ascending=False)
+    cd, cp = bitonic_sort(cand_d, cps, ascending=False)
+    if p2c < p2:
+        # prepend +inf: [inf .. inf, d_max .. d_min] is still descending
+        cd = jnp.pad(cd, ((0, 0), (p2 - p2c, 0)), constant_values=jnp.inf)
+        cp = [
+            jnp.pad(p, ((0, 0), (p2 - p2c, 0)), constant_values=f)
+            for p, f in zip(cp, fills)
+        ]
     # beam: ascending, pad at the tail
     if ef < p2:
         beam_d = jnp.pad(beam_d, ((0, 0), (0, p2 - ef)), constant_values=jnp.inf)

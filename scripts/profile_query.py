@@ -219,6 +219,39 @@ def main():
     print(f"[qstage] iter accounted {acc*1e3:.2f} ms vs measured "
           f"{per_it*1e3:.2f} ms/iter", flush=True)
 
+    # ---- 3b. true marginal per-iteration cost: slope of the beam loop over
+    # mi (isolated single-stage jits miss loop-carried state costs; the
+    # intercept is the loop's fixed overhead)
+    for m_lo, m_hi in ((8, 24),):
+        _, t_lo = timeit(f"beam loop mi={m_lo}",
+                         lambda: beam_fn(packed, q8, qn, e_ids, e_d, m=m_lo))
+        _, t_hi = timeit(f"beam loop mi={m_hi}",
+                         lambda: beam_fn(packed, q8, qn, e_ids, e_d, m=m_hi))
+        slope = (t_hi - t_lo) / (m_hi - m_lo)
+        print(f"[qstage] marginal per-iter {slope*1e3:.2f} ms; loop fixed "
+              f"{(t_lo - slope*m_lo)*1e3:.1f} ms", flush=True)
+
+    # selection-only probe at loop shapes: pop-E-nearest-unexpanded (cumsum,
+    # one-hot, argmax, take_along_axis) — the per-iter stage the round-3
+    # profile never isolated
+    def select_stage(beam_pk, beam_d):
+        unexp = (beam_pk & 1) == 0
+        slot = jnp.cumsum(unexp.astype(jnp.int32), axis=1)
+        sel_mask = unexp & (slot <= expand)
+        beam_pk = jnp.where(sel_mask, beam_pk | 1, beam_pk)
+        oh = sel_mask[:, None, :] & (
+            slot[:, None, :] == jnp.arange(1, expand + 1)[None, :, None]
+        )
+        pos = jnp.argmax(oh, axis=2)
+        active = jnp.any(oh, axis=2)
+        nodes = jnp.where(
+            active, jnp.take_along_axis(beam_pk, pos, axis=1) >> 1, -1)
+        return beam_pk, nodes
+
+    sel_fn = jax.jit(select_stage)
+    beam_pk0 = jnp.where(beam_i0 < 0, -1, beam_i0 * 2)
+    timeit("iter: select E unexpanded", lambda: sel_fn(beam_pk0, beam_d0))
+
     # ---- 4. knob sweeps
     for e, m in ((4, mi), (8, (mi + 1) // 2), (8, mi - 5), (2, 2 * mi),
                  (6, mi - 5)):

@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--refine-sweep", default="none",
                     help="semicolon list of serving adjacencies: 'none' or "
                     "OUT_DEG[:HOPS]; each runs the full --sweep")
+    ap.add_argument("--max-chunk", type=int, default=2048,
+                    help="payload chunk-width cap (4096 = one fat row per "
+                    "node at deg=32 x 128-d)")
+    ap.add_argument("--bits", type=int, default=8,
+                    help="payload precision: 8 (int8) or 4 (nibble-packed)")
     args = ap.parse_args()
 
     from ocaml_hnsw_tpu.config import HnswConfig
@@ -112,7 +117,8 @@ def main():
             tag = f"deg{out_deg}h{hops}"
             print(f"[qlab] refined to {tag} in "
                   f"{time.perf_counter()-t0:.1f}s", flush=True)
-        packed = pack_graph(graph, "l2")
+        packed = pack_graph(graph, "l2", max_chunk=args.max_chunk,
+                            bits=args.bits)
         sync(packed.scale)
         print(f"[qlab] {tag}: payload {packed.pay.nbytes/2**30:.2f} GiB "
               f"deg={packed.deg} chunks={packed.chunks}x"
@@ -122,17 +128,31 @@ def main():
             parts = spec.split(",")
             dl_s, ef_s, mi_s, e_s, rk_s = parts[:5]
             dl = None if dl_s.strip() == "none" else int(dl_s)
-            ef, mi, e, rk = int(ef_s), int(mi_s), int(e_s), int(rk_s)
+            ef, mi, rk = int(ef_s), int(mi_s), int(rk_s)
+            if "x" in e_s:
+                # expand schedule, e.g. "8x2+2x26" = 2 iters at e=8 then
+                # 26 at e=2 (mi field is ignored)
+                sched = tuple(
+                    tuple(int(v) for v in part.split("x"))
+                    for part in e_s.split("+")
+                )
+                e, mi_arg = 4, None
+            else:
+                sched, e, mi_arg = None, int(e_s), mi
+            ee = bool(int(parts[5])) if len(parts) > 5 else True
+            se = int(parts[6]) if len(parts) > 6 else 8
 
             def run(q):
                 return knn_search_packed(
-                    graph, packed, q, k=k, ef=ef, metric="l2", max_iters=mi,
-                    expand=e, seeds=seeds, seed_e=8, rerank_k=rk,
-                    deg_limit=dl)[0]
+                    graph, packed, q, k=k, ef=ef, metric="l2",
+                    max_iters=mi_arg, expand=e, seeds=seeds, seed_e=se,
+                    rerank_k=rk, deg_limit=dl, early_exit=ee,
+                    bits=args.bits, expand_schedule=sched)[0]
             ids = run(queries)
             r = recall_of(np.asarray(ids), gt)
             qps = measure_qps(run, queries, batch=b)
-            print(f"[qlab] {tag} dl={dl} ef={ef} mi={mi} e={e} rk={rk}: "
+            print(f"[qlab] {tag} dl={dl} ef={ef} mi={mi} e={e_s} rk={rk} "
+                  f"ee={int(ee)} se={se}: "
                   f"recall={r:.4f} qps={qps:.0f}", flush=True)
         del packed
         if graph is not base_graph:
