@@ -48,7 +48,9 @@ def main():
     ap.add_argument("--config", default="sift1m",
                     choices=sorted(CONFIGS) + sorted(STREAMING))
     ap.add_argument("--queries", type=int, default=1000)
-    ap.add_argument("--qps-batch", type=int, default=8192)
+    # B=4096 measured fastest for the e=2 narrow-expansion serving regime
+    # (round 4: 85.6k QPS at 4096 vs 78.5k at 8192 vs 60.2k at 16384)
+    ap.add_argument("--qps-batch", type=int, default=4096)
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args()
 

@@ -233,7 +233,11 @@ class Index:
     def knn_query(self, data, k: int = 1, ef: int | None = None,
                   max_iters: int | None = None,
                   compact_k: int | str | None = "auto",
-                  engine: str = "auto", **_ignored):
+                  engine: str = "auto",
+                  expand: int = 2,
+                  expand_schedule: tuple | None = None,
+                  rerank_k: int | None = None,
+                  **_ignored):
         """Returns (labels i64[Q, k], dists f32[Q, k]); -1 label on padding.
 
         The defaults ARE the benchmarked fast path (BASELINE.md headline):
@@ -245,8 +249,13 @@ class Index:
         rule on seed-scan-sized graphs; small-index results keep exact
         oracle-parity trajectories).  engine="classic"/"packed" forces a
         path (packed raises if unavailable).  max_iters bounds the lockstep
-        beam loop (throughput knob; None = run to convergence); the headline
-        numbers use max_iters≈15 at ef=96 — see bench.py."""
+        beam loop (throughput knob; None = run to convergence).
+
+        expand / expand_schedule (packed engine): frontier width per
+        iteration.  The round-4 campaign measured NARROW expansion dominant
+        at 1M — e=2 halves every per-iteration width while iterations only
+        double; expand_schedule=((4,4),(2,22)) with ef=64 is the measured
+        headline operating point (~81k QPS @ recall 0.955) — see bench.py."""
         st = self._require_init()
         if int(st.graph.n) == 0:
             raise RuntimeError("index is empty")
@@ -277,6 +286,9 @@ class Index:
                 max_iters=max_iters,
                 seeds=seeds,
                 seed_e=8,
+                expand=expand,
+                expand_schedule=expand_schedule,
+                rerank_k=rerank_k,
             )
         else:
             if compact_k == "auto":

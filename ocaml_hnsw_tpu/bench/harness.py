@@ -285,12 +285,22 @@ def run_config(
     ef_sweep=((48, 8), (64, 10), (96, 12), (96, 14), (96, 15), (96, 16),
               (96, 18), (96, 21), (96, 24), (128, 32), (128, None),
               (256, None)),
-    # packed-engine sweep: (ef, max_iters, rerank_k), climbing recall.  The
-    # first two rows bracket the measured 0.95 crossing on 1M x 128 l2
-    # (mi=14 -> 0.9446 @ 64.6k QPS, mi=15 -> 0.9517 @ 61.4k); the tail is
-    # the safety ladder for harder datasets.
-    packed_sweep=((96, 14, 32), (96, 15, 32), (96, 16, 32), (96, 18, 48),
-                  (96, 21, 64), (128, 32, 64), (256, None, 128)),
+    # packed-engine sweep: (ef, max_iters, rerank_k, expand), climbing
+    # recall; expand is an int or an ((e, iters), ...) schedule (max_iters
+    # ignored for schedules).  Round-4 campaign: NARROW expansion (e=2)
+    # dominates — every per-iteration width (score, dedup, merge, candidate
+    # sort) halves while iterations only double; with qps_batch=4096 the
+    # measured 1M x 128 l2 frontier is 86.8k @ 0.9514 (mi=29) / 85-87k @
+    # 0.9546 (mi=30).  First row brackets the crossing from below; the tail
+    # is the safety ladder for harder datasets.
+    packed_sweep=(
+        (64, 29, 32, 2),
+        (64, 30, 32, 2),
+        (64, 33, 32, 2),
+        (96, 38, 48, 2),
+        (128, 48, 64, 2),
+        (256, None, 128, 4),
+    ),
     rerank_sweep=(32, 64, 128),
     target_recall: float = 0.95,
     qps_batch: int = 4096,
@@ -386,21 +396,28 @@ def run_config(
         if packed is not None:
             from ocaml_hnsw_tpu.models.packed import knn_search_packed
 
-            for ef, mi, rk in packed_sweep:
+            for entry in packed_sweep:
+                ef, mi, rk = entry[0], entry[1], entry[2]
+                e = entry[3] if len(entry) > 3 else 4
+                sched = e if isinstance(e, tuple) else None
+                e_int = 4 if isinstance(e, tuple) else e
                 ids, _ = knn_search_packed(
                     state.graph, packed, queries, k=k, ef=ef, metric=metric,
-                    max_iters=mi, seeds=seeds, seed_e=8, rerank_k=rk)
+                    max_iters=mi, seeds=seeds, seed_e=8, rerank_k=rk,
+                    expand=e_int, expand_schedule=sched)
                 r = recall_of(np.asarray(ids), gt)
                 qps = measure_qps(
-                    lambda q, ef=ef, mi=mi, rk=rk: knn_search_packed(
+                    lambda q, ef=ef, mi=mi, rk=rk, e_int=e_int, sched=sched:
+                    knn_search_packed(
                         state.graph, packed, q, k=k, ef=ef, metric=metric,
-                        max_iters=mi, seeds=seeds, seed_e=8, rerank_k=rk)[0],
+                        max_iters=mi, seeds=seeds, seed_e=8, rerank_k=rk,
+                        expand=e_int, expand_schedule=sched)[0],
                     queries, batch=qps_batch,
                 )
                 sweep.append({"engine": "packed", "ef": ef, "max_iters": mi,
-                              "rerank_k": rk, "recall": round(r, 4),
-                              "qps": round(qps)})
-                log(f"hnsw[packed] ef={ef} mi={mi} rk={rk}: "
+                              "rerank_k": rk, "expand": str(e),
+                              "recall": round(r, 4), "qps": round(qps)})
+                log(f"hnsw[packed] ef={ef} mi={mi} rk={rk} e={e}: "
                     f"recall@{k}={r:.4f} qps={qps:.0f}")
                 if chosen is None and r >= target_recall:
                     chosen = sweep[-1]

@@ -127,6 +127,30 @@ def flat_from_rows(rows, metric: str, scan_dtype: str = "bf16",
 
 
 # ------------------------------------------------------------------ base kNN
+@partial(jax.jit, static_argnames=("k", "metric", "batch", "n_pad",
+                                   "rerank_pad"))
+def _knn_table_rounds(flat, src, k: int, metric: str, batch: int, n_pad: int,
+                      rerank_pad: int):
+    def body(j, carry):
+        ids_out, d_out = carry
+        start = j * batch
+        q = jax.lax.dynamic_slice_in_dim(src, start, batch, axis=0)
+        ids, d = flat_search(flat, q, k=k + 1, metric=metric,
+                             rerank_k=k + 1 + rerank_pad)
+        own = start + jnp.arange(batch, dtype=jnp.int32)
+        not_self = ids != own[:, None]
+        ids2, d2 = compact_by_mask(ids, d, not_self & (ids >= 0), k)
+        return (
+            jax.lax.dynamic_update_slice_in_dim(ids_out, ids2, start, 0),
+            jax.lax.dynamic_update_slice_in_dim(d_out, d2, start, 0),
+        )
+
+    return jax.lax.fori_loop(
+        0, n_pad // batch, body,
+        (jnp.full((n_pad, k), -1, jnp.int32), jnp.full((n_pad, k), INF)),
+    )
+
+
 def knn_table(flat, rows, k: int, metric: str, batch: int = 8192,
               rerank_pad: int = 32):
     """Top-k neighbor ids+dists of every row against the flat index, self
@@ -134,29 +158,16 @@ def knn_table(flat, rows, k: int, metric: str, batch: int = 8192,
 
     rows may be longer than the flat's occupied count (padding); each batch
     asks for k+1 then drops the self column.  approx_min_k keeps
-    k+1+rerank_pad candidates before the exact f32 rerank."""
+    k+1+rerank_pad candidates before the exact f32 rerank.  One jitted
+    fori_loop: the previous per-batch dispatch loop cost ~123 tunnel
+    round-trips at 1M."""
     rows = jnp.asarray(rows)
     n_rows = rows.shape[0]
     n_pad = round_up(max(n_rows, batch), batch)
     src = jnp.pad(rows.astype(jnp.float32), ((0, n_pad - n_rows), (0, 0)))
-    ids_out = jnp.full((n_pad, k), -1, jnp.int32)
-    d_out = jnp.full((n_pad, k), INF)
-
-    @partial(jax.jit, static_argnames=("k", "metric"))
-    def one(flat, src, start, ids_out, d_out, k, metric):
-        q = jax.lax.dynamic_slice_in_dim(src, start, batch, axis=0)
-        ids, d = flat_search(flat, q, k=k + 1, metric=metric,
-                             rerank_k=k + 1 + rerank_pad)
-        own = start + jnp.arange(batch, dtype=jnp.int32)
-        not_self = ids != own[:, None]
-        ids2, d2 = compact_by_mask(ids, d, not_self & (ids >= 0), k)
-        ids_out = jax.lax.dynamic_update_slice_in_dim(ids_out, ids2, start, 0)
-        d_out = jax.lax.dynamic_update_slice_in_dim(d_out, d2, start, 0)
-        return ids_out, d_out
-
-    for i in range(0, n_pad, batch):
-        ids_out, d_out = one(flat, src, jnp.int32(i), ids_out, d_out,
-                             k=k, metric=metric)
+    ids_out, d_out = _knn_table_rounds(flat, src, k=k, metric=metric,
+                                       batch=batch, n_pad=n_pad,
+                                       rerank_pad=rerank_pad)
     return ids_out[:n_rows], d_out[:n_rows]
 
 
@@ -298,6 +309,79 @@ def _local_ids(global_adj, inv):
     return jnp.where(global_adj >= 0, loc, -1)
 
 
+# ------------------------------------------------------- fused upper level
+@partial(jax.jit, static_argnames=("cap", "m", "m_max", "metric",
+                                   "keep_pruned", "scan_dtype", "knn_k",
+                                   "batch"))
+def _upper_level(dataf, vectors, scales, norms, row_ids, n_sub, *, cap: int,
+                 m: int, m_max: int, metric: str, keep_pruned: bool,
+                 scan_dtype: str, knn_k: int, batch: int):
+    """One whole upper layer — bucket flat load, kNN, Alg-4 select, reverse
+    scatter, shrink merge — as a SINGLE jitted program.
+
+    Why fused: each upper level runs on a tiny node subset (≈N/M^ℓ), where
+    the device compute is microseconds but every separate jit call-site
+    costs seconds of host tracing + tunnel dispatch on this machine
+    (measured: the unfused per-level pipeline of ~7 call-sites made 3,851
+    nodes cost 66 s of a 1M build — 151 s across 4 levels, vs 7.7 s for ALL
+    of layer 0).  n_sub rides as a TRACED scalar so every level at the same
+    power-of-two bucket reuses one compiled program."""
+    n_cap = vectors.shape[0]
+    dim = dataf.shape[1]
+    # dataf arrives pre-normalized from bulk_build (cosine-style metrics
+    # normalize once up front), so bucket rows are used as-is
+    rows = jnp.where((row_ids >= 0)[:, None],
+                     dataf[jnp.maximum(row_ids, 0)], 0.0)
+    # flat engine over the bucket (static cap-trip chunk loop; flat_add
+    # masks by the traced remaining count, clamped to >= 0 internally)
+    flat = empty_flat(dim, cap, scan_dtype=scan_dtype, rerank_dtype="f32")
+    chunk = min(262144, flat.n_cap)
+    src = jnp.pad(rows, ((0, flat.n_cap + chunk - cap), (0, 0)))
+    for i in range(0, cap, chunk):
+        blk = jax.lax.dynamic_slice_in_dim(src, i, chunk, axis=0)
+        cnt = jnp.clip(n_sub - i, 0, chunk).astype(jnp.int32)
+        flat = flat_add(flat, blk, jnp.int32(i), cnt)
+    # kNN of every bucket row (self excluded); fori_loop, not a Python
+    # unroll — the 16-batch unroll at the 65536 bucket cost ~15 s of
+    # single-core TRACING per fresh process (the device work is identical)
+    kk = max(1, min(knn_k, cap - 1 - 32))
+    sb = min(batch, 4096, cap)
+    n_pad = round_up(max(cap, sb), sb)
+    qsrc = jnp.pad(rows, ((0, n_pad - cap), (0, 0)))
+
+    def knn_body(j, carry):
+        knn_ids, knn_d = carry
+        i = j * sb
+        q = jax.lax.dynamic_slice_in_dim(qsrc, i, sb, axis=0)
+        ids, d = flat_search(flat, q, k=kk + 1, metric=metric,
+                             rerank_k=kk + 1 + 32)
+        own = i + jnp.arange(sb, dtype=jnp.int32)
+        not_self = ids != own[:, None]
+        ids2, d2 = compact_by_mask(ids, d, not_self & (ids >= 0), kk)
+        return (jax.lax.dynamic_update_slice_in_dim(knn_ids, ids2, i, 0),
+                jax.lax.dynamic_update_slice_in_dim(knn_d, d2, i, 0))
+
+    knn_ids, knn_d = jax.lax.fori_loop(
+        0, n_pad // sb, knn_body,
+        (jnp.full((n_pad, kk), -1, jnp.int32), jnp.full((n_pad, kk), INF)),
+    )
+    knn_ids, knn_d = knn_ids[:cap], knn_d[:cap]
+    pad_row = row_ids < 0
+    g_knn = jnp.where((knn_ids >= 0) & ~pad_row[:, None],
+                      row_ids[jnp.maximum(knn_ids, 0)], -1)
+    knn_ld = jnp.where(g_knn >= 0, knn_d, INF)
+    slab_u = min(2048, cap)
+    fwd_u, fwd_ud = _select_rounds(vectors, scales, norms, g_knn, knn_ld,
+                                   m, metric, slab_u, keep_pruned)
+    inv = jnp.full((n_cap,), -1, jnp.int32).at[
+        jnp.maximum(row_ids, 0)].set(jnp.arange(cap, dtype=jnp.int32))
+    l_fwd = _local_ids(fwd_u, inv)
+    rev_u, rev_ud = reverse_scatter(l_fwd, fwd_ud, cap, m_max + m)
+    g_rev = jnp.where(rev_u >= 0, row_ids[jnp.maximum(rev_u, 0)], -1)
+    return _merge_rounds(vectors, scales, norms, fwd_u, fwd_ud, g_rev,
+                         rev_ud, m_max, metric, slab_u, keep_pruned)
+
+
 # ----------------------------------------------------------------- bulk build
 def bulk_build(
     data,
@@ -400,42 +484,20 @@ def bulk_build(
             arows = jnp.asarray(up_base_np[sub] + (lvl - 1))
             adj_up = adj_up.at[arows].set(-1)
             continue
-        # bucket the subset capacity to a power of two (min 2048) so every
-        # level ≤ the 2048 bucket shares ONE compiled shape family for the
-        # kNN/select/scatter/merge stages — per-level recompiles were a
-        # measured chunk of the 1M cold build (levels 3+ hold <300 nodes;
-        # the extra padded rows are negligible compute)
+        # bucket the subset capacity to a power of two (min 4096) so every
+        # level ≤ the 4096 bucket shares ONE compiled shape family; the
+        # whole level runs as ONE fused jit call (_upper_level) because on
+        # this machine per-call trace+dispatch overhead (seconds each)
+        # dwarfed the microsecond device compute at these sizes
         n_sub_cap = max(4096, next_pow2(n_sub))
         row_ids = jnp.asarray(
             np.pad(sub, (0, n_sub_cap - n_sub), constant_values=-1))
-        rows = dataf[jnp.maximum(row_ids, 0)]
-        rows = jnp.where((row_ids >= 0)[:, None], rows, 0.0)
-        sflat = flat_from_rows(rows, metric, scan_dtype=scan_dtype,
-                               n_valid=n_sub)
-        # keep kk shape-stable across levels (padding results come back as
-        # -1/inf and compact away); only clamp when the whole bucket is
-        # smaller than the ask
-        kk = max(1, min(knn_k, n_sub_cap - 1 - 32))
-        sb = min(batch, 4096, n_sub_cap)
-        knn_l, knn_ld = knn_table(sflat, rows, kk, metric, batch=sb)
-        del sflat
-        pad_row = row_ids < 0
-        g_knn = jnp.where((knn_l >= 0) & ~pad_row[:, None],
-                          row_ids[jnp.maximum(knn_l, 0)], -1)
-        knn_ld = jnp.where(g_knn >= 0, knn_ld, INF)
-        slab_u = min(2048, n_sub_cap)
-        while n_sub_cap % slab_u:
-            slab_u //= 2
-        fwd_u, fwd_ud = _select_rounds(vectors, scales, norms, g_knn, knn_ld,
-                                       m, metric, slab_u, keep_pruned)
-        inv = jnp.full((n_cap,), -1, jnp.int32).at[
-            jnp.maximum(row_ids, 0)].set(
-            jnp.arange(n_sub_cap, dtype=jnp.int32))
-        l_fwd = _local_ids(fwd_u, inv)
-        rev_u, rev_ud = reverse_scatter(l_fwd, fwd_ud, n_sub_cap, m_max + m)
-        g_rev = jnp.where(rev_u >= 0, row_ids[jnp.maximum(rev_u, 0)], -1)
-        adj_l = _merge_rounds(vectors, scales, norms, fwd_u, fwd_ud, g_rev,
-                              rev_ud, m_max, metric, slab_u, keep_pruned)
+        adj_l = _upper_level(
+            dataf, vectors, scales, norms, row_ids, jnp.int32(n_sub),
+            cap=n_sub_cap, m=m, m_max=m_max, metric=metric,
+            keep_pruned=keep_pruned, scan_dtype=scan_dtype, knn_k=knn_k,
+            batch=batch,
+        )
         arows = jnp.asarray(up_base_np[sub] + (lvl - 1))
         adj_up = adj_up.at[arows].set(adj_l[:n_sub])
         log(f"layer {lvl}: {n_sub} nodes in {time.perf_counter()-t0:.1f}s")

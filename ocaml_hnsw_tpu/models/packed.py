@@ -156,17 +156,37 @@ def nibble_unpack_bf16(v):
     return lo.astype(jnp.bfloat16), hi.astype(jnp.bfloat16)
 
 
+def _i32_to_bytes(x):
+    """int32[..., K] -> int8[..., 4K] little-endian byte view."""
+    return jax.lax.bitcast_convert_type(x, jnp.int8).reshape(
+        x.shape[:-1] + (x.shape[-1] * 4,))
+
+
+def _bytes_to_i32(x):
+    """int8[..., 4K] -> int32[..., K] (inverse of _i32_to_bytes)."""
+    return jax.lax.bitcast_convert_type(
+        x.reshape(x.shape[:-1] + (x.shape[-1] // 4, 4)), jnp.int32)
+
+
+#: total bytes of fused per-node metadata: 32 int32 ids + 32 int32 norms
+#: (deg<=32 pads), split evenly across the node's chunks — see
+#: pack_graph(fused=True)
+FUSED_META_TOTAL = 256
+
+
 @partial(jax.jit, static_argnames=("d_pad", "w", "slab", "metric",
-                                   "with_dist", "bits"))
+                                   "with_dist", "bits", "fused"))
 def _pack_rounds(vectors, scales, adj0, inv_s, d_pad: int, w: int, slab: int,
-                 metric: str = "l2", with_dist: bool = False, bits: int = 8):
+                 metric: str = "l2", with_dist: bool = False, bits: int = 8,
+                 fused: bool = False):
     from ocaml_hnsw_tpu.ops.metrics import get_metric
 
     n_cap, deg = adj0.shape
     d = vectors.shape[1]
     stored = d_pad if bits == 8 else d_pad // 2  # bytes per neighbor
     c = (deg * stored) // w
-    pay = jnp.zeros((n_cap * c, w), jnp.int8)
+    row_w = w + FUSED_META_TOTAL // c if fused else w
+    pay = jnp.zeros((n_cap * c, row_w), jnp.int8)
     meta = jnp.zeros((n_cap, 2 * deg), jnp.int32)
     dist = jnp.full((n_cap, deg), INF) if with_dist else None
     qmax = 127 if bits == 8 else 7
@@ -194,9 +214,29 @@ def _pack_rounds(vectors, scales, adj0, inv_s, d_pad: int, w: int, slab: int,
             y = jnp.pad(y, ((0, 0), (0, 0), (0, d_pad - d)))
         if bits == 4:
             y = _nibble_pack(y)
-        pay = jax.lax.dynamic_update_slice_in_dim(
-            pay, y.reshape(slab * c, w), start * c, 0
-        )
+        if fused:
+            # chunk j of node v = [meta_j (128 B) | its w/c payload bytes]:
+            # meta_0 carries the 32 ids, meta_1 the 32 int32 norms (deg<32
+            # rows pad with -1 ids / 0 norms), so ONE gather of the node's
+            # chunk rows delivers adjacency + norms + vectors — no separate
+            # meta-table descriptor round per iteration (measured 0.24
+            # ms/iter at e=2, scripts/iterlab.py)
+            pad_deg = 32 - deg
+            ids_b = _i32_to_bytes(
+                jnp.pad(a, ((0, 0), (0, pad_deg)), constant_values=-1))
+            nrm_b = _i32_to_bytes(
+                jnp.pad(nrm, ((0, 0), (0, pad_deg))))
+            mblk = jnp.concatenate([ids_b, nrm_b], axis=1).reshape(
+                slab, c, FUSED_META_TOTAL // c)  # ids then norms, c splits
+            vblk = y.reshape(slab, c, w)
+            rows_out = jnp.concatenate([mblk, vblk], axis=2)
+            pay = jax.lax.dynamic_update_slice_in_dim(
+                pay, rows_out.reshape(slab * c, row_w), start * c, 0
+            )
+        else:
+            pay = jax.lax.dynamic_update_slice_in_dim(
+                pay, y.reshape(slab * c, w), start * c, 0
+            )
         meta = jax.lax.dynamic_update_slice_in_dim(
             meta, jnp.concatenate([a, nrm], axis=1), start, 0
         )
@@ -207,7 +247,8 @@ def _pack_rounds(vectors, scales, adj0, inv_s, d_pad: int, w: int, slab: int,
 
 def pack_graph(graph: GraphTensors, metric: str,
                scale=None, with_dist: bool = False,
-               max_chunk: int = 2048, bits: int = 8) -> PackedGraph:
+               max_chunk: int = 2048, bits: int = 8,
+               fused: bool = False) -> PackedGraph:
     """Build the inline-neighbor payload from a (re)built graph.
 
     One pass over adjacency in HBM-friendly slabs; the global scale is the
@@ -228,6 +269,13 @@ def pack_graph(graph: GraphTensors, metric: str,
     d_pad = pack_d_pad(graph.dim)
     stored = d_pad if bits == 8 else d_pad // 2
     w = _chunk_width(deg * stored, max_chunk)
+    if fused:
+        c = (deg * stored) // w
+        if deg > 32 or FUSED_META_TOTAL % c or with_dist:
+            raise ValueError(
+                "fused meta layout supports deg<=32, chunk counts dividing "
+                "256, and query-only packs (no with_dist)"
+            )
     n_cap = graph.n_cap
     slab = min(8192, n_cap)
     while n_cap % slab:
@@ -246,7 +294,7 @@ def pack_graph(graph: GraphTensors, metric: str,
     pay, meta, dist = _pack_rounds(
         graph.vectors, graph.scales, graph.adj0, 1.0 / s,
         d_pad=d_pad, w=w, slab=slab, metric=metric, with_dist=with_dist,
-        bits=bits,
+        bits=bits, fused=fused,
     )
     return PackedGraph(pay=pay, meta=meta, scale=s.astype(jnp.float32),
                        dist=dist)
@@ -332,6 +380,7 @@ def beam_search_layer_packed(
     deg_limit: int | None = None,
     early_exit: bool = True,
     bits: int = 8,
+    fused: bool = False,
     init_pk=None,
     init_d=None,
     raw_state: bool = False,
@@ -359,7 +408,14 @@ def beam_search_layer_packed(
     rounds up to a chunk boundary."""
     b = q8.shape[0]
     deg, c, w = packed.deg, packed.chunks, packed.pay.shape[1]
-    stored = packed.d_pad  # BYTES per neighbor (d_pad/2 when bits=4)
+    if fused:
+        if deg_limit is not None:
+            raise ValueError("deg_limit is unsupported on fused payloads")
+        mpc = FUSED_META_TOTAL // c  # meta bytes per chunk row
+        stored = ((w - mpc) * c) // deg
+    else:
+        mpc = 0
+        stored = packed.d_pad  # BYTES per neighbor (d_pad/2 when bits=4)
     if deg_limit is not None and deg_limit < deg:
         # whole chunks only: each chunk row holds w/stored neighbor vectors
         per_chunk = max(1, w // stored)
@@ -411,15 +467,31 @@ def beam_search_layer_packed(
             active, jnp.take_along_axis(beam_pk, pos, axis=1) >> 1, -1
         )  # [B, E]
         safe = jnp.maximum(nodes, 0)
-        # meta row: neighbor ids + their int32 norms, one thin gather
-        mrow = packed.meta[safe]  # [B, E, 2·deg_full]
-        deg_full = packed.deg
-        nbrs = jnp.where((nodes >= 0)[:, :, None], mrow[:, :, :deg], -1)
-        nrm = mrow[:, :, deg_full:deg_full + deg].astype(jnp.float32)
-        # payload chunk rows -> [B, E, deg, D_pad] int8 (relayout-free view)
-        cid = (safe[:, :, None] * c_full
-               + jnp.arange(c, dtype=jnp.int32)[None, None, :]).reshape(b, -1)
-        vec8 = packed.pay[cid].reshape(b, expand, deg, stored)
+        if fused:
+            # ONE gather delivers ids + norms + vectors: each chunk row is
+            # [meta_slice (256/c B) | payload bytes] — no separate
+            # meta-table descriptor round (iterlab: 0.24 ms/iter at e=2)
+            cid = (safe[:, :, None] * c_full
+                   + jnp.arange(c, dtype=jnp.int32)[None, None, :]
+                   ).reshape(b, -1)
+            raw = packed.pay[cid].reshape(b, expand, c, w)
+            mwords = _bytes_to_i32(
+                raw[:, :, :, :mpc].reshape(b, expand, c * mpc))  # [B,E,64]
+            nbrs = jnp.where((nodes >= 0)[:, :, None],
+                             mwords[:, :, :deg], -1)
+            nrm = mwords[:, :, 32:32 + deg].astype(jnp.float32)
+            vec8 = raw[:, :, :, mpc:].reshape(b, expand, deg, stored)
+        else:
+            # meta row: neighbor ids + their int32 norms, one thin gather
+            mrow = packed.meta[safe]  # [B, E, 2·deg_full]
+            deg_full = packed.deg
+            nbrs = jnp.where((nodes >= 0)[:, :, None], mrow[:, :, :deg], -1)
+            nrm = mrow[:, :, deg_full:deg_full + deg].astype(jnp.float32)
+            # payload chunk rows -> [B, E, deg, D_pad] int8 (relayout-free)
+            cid = (safe[:, :, None] * c_full
+                   + jnp.arange(c, dtype=jnp.int32)[None, None, :]
+                   ).reshape(b, -1)
+            vec8 = packed.pay[cid].reshape(b, expand, deg, stored)
         # dot as a bf16 elementwise multiply-reduce: the int8 dot_general /
         # einsum forms all cost +3.2 ms/iter at this shape (lane-dim int32
         # reduce); bf16 fma + f32 accumulate measured +1.95.  int8 values are
@@ -493,7 +565,7 @@ def beam_search_layer_packed(
     jax.jit,
     static_argnames=(
         "k", "ef", "metric", "max_iters", "expand", "seed_e", "rerank_k",
-        "deg_limit", "early_exit", "bits", "expand_schedule",
+        "deg_limit", "early_exit", "bits", "expand_schedule", "fused",
     ),
 )
 def knn_search_packed(
@@ -512,6 +584,7 @@ def knn_search_packed(
     early_exit: bool = True,
     bits: int = 8,
     expand_schedule: tuple | None = None,
+    fused: bool = False,
 ):
     """Alg 5 on the packed engine: seed-scan (or greedy) entry, packed int8
     beam at layer 0, then an exact-f32 rerank of the top `rerank_k` beam
@@ -534,7 +607,12 @@ def knn_search_packed(
     else:
         cur, cur_d = descend(graph, q, qn, metric, stop_level=0)
         entry_ids, entry_d = cur[:, None], cur_d[:, None]
-    d_pad = packed.d_pad * (1 if bits == 8 else 2)  # logical query width
+    if fused:
+        c_, w_ = packed.chunks, packed.pay.shape[1]
+        stored_ = ((w_ - FUSED_META_TOTAL // c_) * c_) // packed.deg
+    else:
+        stored_ = packed.d_pad
+    d_pad = stored_ * (1 if bits == 8 else 2)  # logical query width
     if bits == 8:
         q8 = quantize_queries(q, packed.scale)
     else:
@@ -554,7 +632,8 @@ def knn_search_packed(
                 packed, q8, qn, entry_ids, entry_d, ef,
                 needs_norms=needs_norms, max_iters=mi_p, expand=e_p,
                 deg_limit=deg_limit, early_exit=False, bits=bits,
-                init_pk=state[0], init_d=state[1], raw_state=True,
+                fused=fused, init_pk=state[0], init_d=state[1],
+                raw_state=True,
             )[:2]
         ids, d = state[0] >> 1, state[1]
     else:
@@ -562,6 +641,7 @@ def knn_search_packed(
             packed, q8, qn, entry_ids, entry_d, ef,
             needs_norms=needs_norms, max_iters=max_iters, expand=expand,
             deg_limit=deg_limit, early_exit=early_exit, bits=bits,
+            fused=fused,
         )
     # tombstone filter on the approx beam, keep top rerank_k live candidates.
     # The beam arrives sorted; dead entries perturb that, so both selections

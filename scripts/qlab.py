@@ -53,6 +53,8 @@ def main():
                     "node at deg=32 x 128-d)")
     ap.add_argument("--bits", type=int, default=8,
                     help="payload precision: 8 (int8) or 4 (nibble-packed)")
+    ap.add_argument("--fused", action="store_true",
+                    help="fused meta-in-payload layout (one gather/node)")
     args = ap.parse_args()
 
     from ocaml_hnsw_tpu.config import HnswConfig
@@ -118,7 +120,7 @@ def main():
             print(f"[qlab] refined to {tag} in "
                   f"{time.perf_counter()-t0:.1f}s", flush=True)
         packed = pack_graph(graph, "l2", max_chunk=args.max_chunk,
-                            bits=args.bits)
+                            bits=args.bits, fused=args.fused)
         sync(packed.scale)
         print(f"[qlab] {tag}: payload {packed.pay.nbytes/2**30:.2f} GiB "
               f"deg={packed.deg} chunks={packed.chunks}x"
@@ -147,7 +149,8 @@ def main():
                     graph, packed, q, k=k, ef=ef, metric="l2",
                     max_iters=mi_arg, expand=e, seeds=seeds, seed_e=se,
                     rerank_k=rk, deg_limit=dl, early_exit=ee,
-                    bits=args.bits, expand_schedule=sched)[0]
+                    bits=args.bits, expand_schedule=sched,
+                    fused=args.fused)[0]
             ids = run(queries)
             r = recall_of(np.asarray(ids), gt)
             qps = measure_qps(run, queries, batch=b)

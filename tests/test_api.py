@@ -324,3 +324,31 @@ class TestFastPathParity:
                               compact_k=compact)
         np.testing.assert_array_equal(labels, np.asarray(ids2))
         np.testing.assert_allclose(dists, np.asarray(d2), rtol=1e-6)
+
+    def test_knn_query_packed_schedule_matches_harness_call(self, monkeypatch):
+        """Same parity for the packed engine at the round-4 headline knobs
+        (ef=64, expand_schedule=((4,4),(2,22)), rk=32)."""
+        import jax.numpy as jnp
+        from ocaml_hnsw_tpu.models.packed import (
+            knn_search_packed, pack_graph,
+        )
+        from ocaml_hnsw_tpu.models.search import build_seed_index
+
+        n, dim, k = 6000, 24, 10
+        sched = ((4, 4), (2, 22))
+        data = clustered(n, dim, n_clusters=48, seed=6)
+        q = queries_like(data, 64, seed=8)
+        monkeypatch.setattr(Index, "PACKED_THRESHOLD", 1000)
+        idx = Index(space="l2", dim=dim)
+        idx.init_index(max_elements=n, M=16, ef_construction=80,
+                       round_size=1024)
+        idx.add_items(data)
+        labels, dists = idx.knn_query(q, k=k, ef=64,
+                                      expand_schedule=sched, rerank_k=32)
+        seeds = build_seed_index(idx.graph, "l2")
+        p = pack_graph(idx.graph, "l2")
+        ids2, d2 = knn_search_packed(
+            idx.graph, p, jnp.asarray(q), k=k, ef=64, metric="l2",
+            seeds=seeds, seed_e=8, rerank_k=32, expand_schedule=sched)
+        np.testing.assert_array_equal(labels, np.asarray(ids2))
+        np.testing.assert_allclose(dists, np.asarray(d2), rtol=1e-6)

@@ -119,8 +119,10 @@ class TestBulkGraph:
         ids, _ = knn_search(g, jnp.asarray(q), k=10, ef=64, metric="l2",
                             seeds=seeds)
         r_bulk = recall(np.asarray(ids), gt)
-        st = BuildState(cfg, len(data), round_size=512)
-        st.add(data)
+        from tests.conftest import built_state_cached
+
+        st = built_state_cached("std4000x24", cfg, len(data), data,
+                                round_size=512)
         seeds_i = build_seed_index(st.graph, "l2")
         ids_i, _ = knn_search(st.graph, jnp.asarray(q), k=10, ef=64,
                               metric="l2", seeds=seeds_i)

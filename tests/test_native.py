@@ -75,9 +75,11 @@ def _recall_parity(n: int, dim: int, round_size: int, efs) -> None:
 
     nat = native.NativeHNSW(dim=dim, M=12, ef_construction=100)
     nat.add_items(data)
-    st = BuildState(HnswConfig(dim=dim, M=12, ef_construction=100), n,
-                    round_size=round_size)
-    st.add(data)
+    from tests.conftest import built_state_cached
+
+    st = built_state_cached(
+        f"nat{n}x{dim}", HnswConfig(dim=dim, M=12, ef_construction=100), n,
+        data, round_size=round_size)
     seeds = build_seed_index(st.graph, "l2")
     qj = jnp.asarray(np.pad(q, ((0, 56), (0, 0))))  # 200 -> 256
     for ef in efs:

@@ -17,11 +17,13 @@ from ocaml_hnsw_tpu.oracle.bruteforce import bruteforce_knn, recall
 
 @pytest.fixture(scope="module")
 def built():
+    from tests.conftest import built_state_cached
+
     n, dim = 4000, 24
     data = clustered(n, dim, n_clusters=32, seed=1)
-    st = BuildState(HnswConfig(dim=dim, M=12, ef_construction=80), n,
-                    round_size=512)
-    st.add(data)
+    st = built_state_cached(
+        "std4000x24", HnswConfig(dim=dim, M=12, ef_construction=80), n,
+        data, round_size=512)
     return data, st
 
 
