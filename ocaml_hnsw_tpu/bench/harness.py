@@ -299,6 +299,9 @@ def run_config(
         (64, 33, 32, 2),
         (96, 38, 48, 2),
         (128, 48, 64, 2),
+        (128, 56, 64, 2),
+        (160, 64, 96, 2),
+        (192, 80, 96, 2),
         (256, None, 128, 4),
     ),
     rerank_sweep=(32, 64, 128),
