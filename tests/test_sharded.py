@@ -56,6 +56,42 @@ class TestShardedQuery:
         assert labels[0, 0] != 5
 
 
+class TestShardedPacked:
+    """VERDICT r3 task 7: the sharded path serves the per-shard packed
+    inline-int8 engine (the single-chip fast path) above the threshold."""
+
+    def test_packed_query_matches_classic(self, sharded, monkeypatch):
+        from ocaml_hnsw_tpu.parallel.sharded import ShardedIndex
+
+        data, idx = sharded
+        q = queries_like(data, 60, seed=11)
+        gt, _ = bruteforce_knn(data, q, 10, "l2")
+        monkeypatch.setattr(ShardedIndex, "PACKED_THRESHOLD", 100)
+        idx._packed_cache = None
+        assert idx._packed_stacked() is not None
+        lp, dp = idx.knn_query(q, k=10, ef=48)
+        rp = recall(lp, gt)
+        assert (np.diff(dp, axis=1) >= -1e-6).all()
+        monkeypatch.setattr(ShardedIndex, "PACKED_THRESHOLD", 10**9)
+        idx._packed_cache = None
+        lc, _ = idx.knn_query(q, k=10, ef=48)
+        rc = recall(lc, gt)
+        assert rp >= rc - 0.02, (rp, rc)
+
+    def test_packed_respects_tombstones(self, sharded, monkeypatch):
+        from ocaml_hnsw_tpu.parallel.sharded import ShardedIndex
+
+        data, idx = sharded
+        monkeypatch.setattr(ShardedIndex, "PACKED_THRESHOLD", 100)
+        idx._packed_cache = None
+        labels, _ = idx.knn_query(data[7], k=1, ef=32)
+        assert labels[0, 0] == 7
+        idx.mark_deleted(7)
+        labels, _ = idx.knn_query(data[7], k=1, ef=32)
+        assert labels[0, 0] != 7
+        idx.unmark_deleted(7)
+
+
 class TestShardedIncremental:
     def test_two_phase(self):
         data = clustered(400, 8, n_clusters=16, seed=3)
