@@ -48,9 +48,12 @@ def main():
     ap.add_argument("--config", default="sift1m",
                     choices=sorted(CONFIGS) + sorted(STREAMING))
     ap.add_argument("--queries", type=int, default=1000)
-    # B=4096 measured fastest for the e=2 narrow-expansion serving regime
-    # (round 4: 85.6k QPS at 4096 vs 78.5k at 8192 vs 60.2k at 16384)
-    ap.add_argument("--qps-batch", type=int, default=4096)
+    # B=8192 served as TWO interleaved 4096 sub-batches in one program
+    # (models/packed.py duo loop) is the round-5 measured frontier: each
+    # sub-batch keeps the 4096 per-iteration sweet-spot shape while one
+    # dispatch amortizes the fixed cost — 108.4k QPS @ 0.951 vs 102.3k for
+    # plain B=4096 (B=16384 collapses; scripts/qlab.py round-5 campaign)
+    ap.add_argument("--qps-batch", type=int, default=8192)
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args()
 

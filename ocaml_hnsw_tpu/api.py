@@ -230,13 +230,19 @@ class Index:
             self._packed = pack_graph(st.graph, self.space)
         return self._packed
 
+    #: one-time warning flag: the packed default expand changed 4 -> 2 in
+    #: round 4 (paired with a doubled default iteration cap); callers who
+    #: pinned max_iters under the old guidance get a heads-up once
+    _warned_expand_pairing = False
+
     def knn_query(self, data, k: int = 1, ef: int | None = None,
                   max_iters: int | None = None,
                   compact_k: int | str | None = "auto",
                   engine: str = "auto",
-                  expand: int = 2,
+                  expand: int | None = None,
                   expand_schedule: tuple | None = None,
                   rerank_k: int | None = None,
+                  interleave: int = 1,
                   **_ignored):
         """Returns (labels i64[Q, k], dists f32[Q, k]); -1 label on padding.
 
@@ -276,6 +282,21 @@ class Index:
         if packed is not None:
             from ocaml_hnsw_tpu.models.packed import knn_search_packed
 
+            if expand is None:
+                expand = 2
+                if (max_iters is not None and expand_schedule is None
+                        and not Index._warned_expand_pairing):
+                    import warnings
+
+                    warnings.warn(
+                        "knn_query's default expand changed 4 -> 2 (round-4 "
+                        "serving campaign); a max_iters pinned under the old "
+                        "expand=4 guidance now explores ~half the candidates "
+                        "per query — roughly double it, or pass expand=4 "
+                        "explicitly.  (Warned once per process.)",
+                        stacklevel=2,
+                    )
+                    Index._warned_expand_pairing = True
             ids, dists = knn_search_packed(
                 st.graph,
                 packed,
@@ -289,6 +310,7 @@ class Index:
                 expand=expand,
                 expand_schedule=expand_schedule,
                 rerank_k=rerank_k,
+                interleave=interleave if b % max(interleave, 1) == 0 else 1,
             )
         else:
             if compact_k == "auto":

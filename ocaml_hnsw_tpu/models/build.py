@@ -1099,6 +1099,11 @@ class BuildState:
         self.pack_scale = None
         self.pack_dist = None
         self._packed_build: bool | None = None
+        # deferred scale-growth check state (see _maybe_init_packed): a lazy
+        # device-side max of the last device-array add, and a host mirror of
+        # the range the current scale covers (scale * 127)
+        self._pack_pending_mx = None
+        self._pack_covered: float | None = None
         # opt-out of the bulk first-add constructor (advisor r3): users who
         # need reference-matching incremental construction order (bitwise
         # graph reproducibility across versions) set this False; recall
@@ -1153,6 +1158,8 @@ class BuildState:
         self.pack_pay = self.pack_meta = self.pack_scale = None
         self.pack_dist = None
         self._packed_build = None
+        self._pack_pending_mx = None
+        self._pack_covered = None
         lv = np.asarray(graph.levels)
         n = int(graph.n)
         self.host_n = n
@@ -1227,14 +1234,23 @@ class BuildState:
         if self._packed_build is not None:
             if self.pack_scale is not None:
                 # a later batch can exceed the payload's quantization range:
-                # grow the scale and repack (rare; one pass over adjacency)
-                mx = float(jnp.max(jnp.abs(data)))
-                if mx > float(self.pack_scale) * 127.0:
-                    pk = pack_graph(self.graph, self.config.metric,
-                                    scale=mx / 127.0, with_dist=True)
-                    self.pack_pay, self.pack_meta = pk.pay, pk.meta
-                    self.pack_scale = pk.scale
-                    self.pack_dist = pk.dist
+                # grow the scale and repack (rare; one pass over adjacency).
+                # No per-add host sync (round-4 advisor): host arrays check
+                # on the host for free; device arrays accumulate a LAZY
+                # device-side max that is fetched on the next add / at
+                # packed_graph() — by then the value is long materialized,
+                # so the fetch is a tunnel round trip on completed work, not
+                # a pipeline stall.  A one-round-late repack only coarsens
+                # that round's construction-beam scoring (payload clips at
+                # the old grid); stored vectors stay exact and the repack
+                # recomputes every payload row.
+                if isinstance(data, jnp.ndarray):
+                    self._flush_scale_check()
+                    self._pack_pending_mx = jnp.max(
+                        jnp.abs(data.astype(jnp.float32)))
+                else:
+                    mx = float(np.max(np.abs(data))) if data.size else 0.0
+                    self._grow_scale_if_needed(mx)
             return
         cfg = self.config
         g = self.graph
@@ -1251,18 +1267,50 @@ class BuildState:
             pk = empty_packed(g.n_cap, deg, cfg.dim, scale)
         else:  # adopted/loaded graph: pack what exists
             pk = pack_graph(g, cfg.metric, with_dist=True)
-            mx = float(jnp.max(jnp.abs(data))) / 127.0
-            if mx > float(pk.scale):  # range must cover this batch too
+            if isinstance(data, jnp.ndarray):
+                mx = float(jnp.max(jnp.abs(data.astype(jnp.float32)))) / 127.0
+            else:
+                mx = (float(np.max(np.abs(data))) / 127.0) if data.size else 0.0
+            cov = float(pk.scale)
+            if mx > cov:  # range must cover this batch too
                 pk = pack_graph(g, cfg.metric, scale=mx, with_dist=True)
+                cov = mx
+            self._pack_covered = cov * 127.0
         self.pack_pay, self.pack_meta = pk.pay, pk.meta
         self.pack_scale = pk.scale
         self.pack_dist = pk.dist
+
+    def _flush_scale_check(self) -> None:
+        """Materialize the deferred device-side batch max (if any) and grow
+        the payload scale when it exceeded the covered range."""
+        if self._pack_pending_mx is None:
+            return
+        mx = float(self._pack_pending_mx)
+        self._pack_pending_mx = None
+        self._grow_scale_if_needed(mx)
+
+    def _grow_scale_if_needed(self, mx: float) -> None:
+        if self.pack_scale is None:
+            return
+        if self._pack_covered is None:  # one fetch per build lifetime
+            self._pack_covered = float(self.pack_scale) * 127.0
+        if mx <= self._pack_covered:
+            return
+        from ocaml_hnsw_tpu.models.packed import pack_graph
+
+        pk = pack_graph(self.graph, self.config.metric,
+                        scale=mx / 127.0, with_dist=True)
+        self.pack_pay, self.pack_meta = pk.pay, pk.meta
+        self.pack_scale = pk.scale
+        self.pack_dist = pk.dist
+        self._pack_covered = mx
 
     def packed_graph(self):
         """The live build-maintained payload as a PackedGraph (or None) —
         exactly what pack_graph(graph) would produce, for free."""
         if self.pack_pay is None:
             return None
+        self._flush_scale_check()
         from ocaml_hnsw_tpu.models.packed import PackedGraph
 
         return PackedGraph(pay=self.pack_pay, meta=self.pack_meta,

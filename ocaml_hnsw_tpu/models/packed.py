@@ -113,7 +113,16 @@ def _chunk_width(total: int, max_chunk: int = 2048) -> int:
     for w in (4096, 3584, 3072, 2560, 2048, 1536, 1280, 1024, 512, 256, 128):
         if w <= max_chunk and total % w == 0 and total // w >= 1:
             return w
-    return total
+    # no preferred width divides: take the largest divisor <= max_chunk
+    # rather than silently emitting rows past the fat-row gather cliff
+    # (advisor r4)
+    best = max((w for w in range(1, max_chunk + 1) if total % w == 0),
+               default=None)
+    if best is None or best < 32:
+        raise ValueError(
+            f"no payload chunk width <= {max_chunk} divides row size {total}"
+        )
+    return best
 
 
 def pack_d_pad(dim: int) -> int:
@@ -367,46 +376,9 @@ def refresh_payload_rows(packed: PackedGraph, vectors, scales, adj0, rows,
     return packed._replace(pay=pay, meta=meta, dist=dist)
 
 
-def beam_search_layer_packed(
-    packed: PackedGraph,
-    q8,  # int8[B, D_pad] (bits=8) or bf16[B, D_pad] q/s (bits=4)
-    qn,  # f32[B]  ‖q‖² (zeros for ip/cosine)
-    entry_ids,  # i32[B, E0]
-    entry_d,  # f32[B, E0]
-    ef: int,
-    needs_norms: bool,
-    max_iters: int,
-    expand: int = 4,
-    deg_limit: int | None = None,
-    early_exit: bool = True,
-    bits: int = 8,
-    fused: bool = False,
-    init_pk=None,
-    init_d=None,
-    raw_state: bool = False,
-):
-    """The packed layer-0 beam loop: per iteration, expand the E nearest
-    unexpanded beam nodes by gathering their meta row (ids+norms) and payload
-    chunk rows, scoring all E·deg inlined neighbors with one int8 MXU
-    contraction.  Beam dedup only (the classic engine's measured-default
-    visited mode); distances land in true-f32 domain so the shared bitonic
-    merge applies unchanged.  Returns (ids, d, iters) like the classic
-    layer.
-
-    init_pk/init_d: resume from a previous phase's raw beam state (packed
-    (id, expanded) lanes + distances) instead of seeding from entries —
-    the expand-schedule path (knn_search_packed) chains a wide beam-filling
-    phase into a narrow cruising phase without re-expanding phase-1 work.
-    raw_state=True returns (beam_pk, beam_d, iters) unshifted for chaining.
-
-    deg_limit: expand only each node's first `deg_limit` neighbors.
-    Adjacency rows are distance-ascending (build compaction sorts them), so
-    this visits the nearest deg_limit per node — a degree/iteration tradeoff
-    knob (CAGRA-style): half the gather bytes, half the score work, and a
-    narrower candidate sort per iteration, at more iterations for equal
-    recall.  Only whole payload chunks are fetched, so the effective limit
-    rounds up to a chunk boundary."""
-    b = q8.shape[0]
+def _packed_layout(packed: PackedGraph, expand: int, ef: int,
+                   deg_limit: int | None, bits: int, fused: bool):
+    """Resolve the static payload-layout constants the beam body needs."""
     deg, c, w = packed.deg, packed.chunks, packed.pay.shape[1]
     if fused:
         if deg_limit is not None:
@@ -423,34 +395,26 @@ def beam_search_layer_packed(
         deg = min(deg, c * per_chunk)
     c_full = packed.chunks
     expand = max(1, min(expand, ef))
+    return deg, c, c_full, w, mpc, stored, expand
+
+
+def _beam_body(packed: PackedGraph, q8, qn, ef: int, needs_norms: bool,
+               expand: int, deg_limit: int | None, bits: int, fused: bool):
+    """One iteration of the packed beam loop as a (pk, d) -> (pk, d)
+    closure over this (sub)batch's query tensors.  Shared by the single
+    loop and the interleaved duo loop (which runs two independent
+    half-batch bodies per iteration so one half's payload DMA overlaps
+    the other half's score/merge compute)."""
+    deg, c, c_full, w, mpc, stored, expand = _packed_layout(
+        packed, expand, ef, deg_limit, bits, fused)
+    b = q8.shape[0]
     s2 = packed.scale * packed.scale
-
-    if init_pk is not None:
-        beam_pk, beam_d = init_pk, init_d
-    else:
-        uniq = first_occurrence_mask(entry_ids) & (entry_ids >= 0)
-        entry_ids = jnp.where(uniq, entry_ids, -1)
-        entry_d = jnp.where(uniq, entry_d, INF)
-        beam_ids, beam_d = entries_to_beam(entry_ids, entry_d, ef)
-        # beam state packs (id, expanded) into ONE int32 — pk = 2·id + exp —
-        # so the bitonic merge carries a single payload lane instead of two
-        # (each compare-exchange stage does one fewer masked-select + permute
-        # over [B, 2·p2]; measured ~-0.9 ms/iter at the headline shape).
-        # Sentinel id=-1 packs to -1 (= 2·(-1)+1: expanded), so `pk & 1` and
-        # `pk >> 1` (arithmetic shift) decode both fields with sign intact.
-        beam_pk = jnp.where(beam_ids < 0, -1, beam_ids * 2)
-
-    def cond(state):
-        beam_pk, _, it = state
-        return jnp.any((beam_pk & 1) == 0) & (it < max_iters)
-
     q16 = q8.astype(jnp.bfloat16)
     if bits == 4:
         q16e = q16[:, 0::2]  # even dims pair with low nibbles
         q16o = q16[:, 1::2]
 
-    def body(state):
-        beam_pk, beam_d, it = state
+    def body(beam_pk, beam_d):
         # E nearest unexpanded beam members (beam sorted ⇒ cumsum mask).
         # (A vmapped-searchsorted variant of this selection measured 2.2
         # ms/iter SLOWER — the one-hot/argmax form is the fast one.)
@@ -505,11 +469,9 @@ def beam_search_layer_packed(
             )
         else:
             # int4 payload: HALF the gathered bytes of int8 at equal deg —
-            # the loop is payload-bandwidth-bound (scripts/iterlab.py:
-            # gather = 4.69 of 7.05 ms/iter at 2x2048B), so nibble-packing
-            # buys ~2.3 ms/iter for one extra unpack.  The query rides as
-            # FRACTIONAL bf16 on the s-grid (q/s, not rounded) — only the
-            # stored side pays the coarse grid.
+            # see module docstring; the query rides as FRACTIONAL bf16 on
+            # the s-grid (q/s, not rounded) — only the stored side pays the
+            # coarse grid.
             lo, hi = nibble_unpack_bf16(vec8)
             dot = jnp.sum(
                 lo * q16e[:, None, None, :] + hi * q16o[:, None, None, :],
@@ -530,6 +492,130 @@ def beam_search_layer_packed(
         beam_d, (beam_pk,) = merge_into_beam(
             beam_d, [(beam_pk, -1)], cand_d, [(cand_pk, -1)], ef,
         )
+        return beam_pk, beam_d
+
+    return body
+
+
+def _entries_to_packed_beam(entry_ids, entry_d, ef: int):
+    """Dedup entries and build the sorted (pk, d) beam state."""
+    uniq = first_occurrence_mask(entry_ids) & (entry_ids >= 0)
+    entry_ids = jnp.where(uniq, entry_ids, -1)
+    entry_d = jnp.where(uniq, entry_d, INF)
+    beam_ids, beam_d = entries_to_beam(entry_ids, entry_d, ef)
+    # beam state packs (id, expanded) into ONE int32 — pk = 2·id + exp —
+    # so the bitonic merge carries a single payload lane instead of two
+    # (each compare-exchange stage does one fewer masked-select + permute
+    # over [B, 2·p2]; measured ~-0.9 ms/iter at the headline shape).
+    # Sentinel id=-1 packs to -1 (= 2·(-1)+1: expanded), so `pk & 1` and
+    # `pk >> 1` (arithmetic shift) decode both fields with sign intact.
+    beam_pk = jnp.where(beam_ids < 0, -1, beam_ids * 2)
+    return beam_pk, beam_d
+
+
+def beam_search_layer_packed_duo(
+    packed: PackedGraph,
+    q8,  # int8[B, D_pad] (bits=8) or bf16[B, D_pad] q/s (bits=4)
+    qn,  # f32[B]
+    entry_ids,  # i32[B, E0]
+    entry_d,  # f32[B, E0]
+    ef: int,
+    needs_norms: bool,
+    max_iters: int,
+    expand: int = 2,
+    bits: int = 8,
+    fused: bool = False,
+    ways: int = 2,
+):
+    """Interleaved serving loop (VERDICT r4 task 2a): the batch is split
+    into `ways` INDEPENDENT sub-batches whose beam iterations are emitted
+    back-to-back inside one fori_loop body.  Two effects, both measured on
+    v5e at 1M (round 5):
+
+    * each sub-batch keeps the B=4096 per-iteration shape, dodging the
+      superlinear per-iteration cliff a fused B=8192 loop hits
+      (2.70 ms/iter at B=8192 vs 2x1.04 for two 4096 halves);
+    * one dispatch serves ways x 4096 queries, amortizing the fixed
+      per-batch cost (seed scan, rerank, ~3 ms host dispatch).
+
+    Net: 102.3k -> 106.9k QPS at recall 0.9514 (ways=2, sub-batch 4096)
+    vs the plain B=4096 loop.  Results are bit-identical to running each
+    sub-batch through the plain loop — they share no state."""
+    b = q8.shape[0]
+    h = b // ways
+    slices = [slice(i * h, (i + 1) * h) for i in range(ways)]
+    bodies = [
+        _beam_body(packed, q8[s], qn[s], ef, needs_norms, expand, None,
+                   bits, fused)
+        for s in slices
+    ]
+    init = tuple(
+        _entries_to_packed_beam(entry_ids[s], entry_d[s], ef) for s in slices
+    )
+
+    def body(i, st):
+        return tuple(fn(pk, d) for fn, (pk, d) in zip(bodies, st))
+
+    final = jax.lax.fori_loop(0, max_iters, body, init)
+    ids = jnp.concatenate([pk for pk, _ in final], axis=0) >> 1
+    d = jnp.concatenate([d for _, d in final], axis=0)
+    return ids, d, jnp.int32(max_iters)
+
+
+def beam_search_layer_packed(
+    packed: PackedGraph,
+    q8,  # int8[B, D_pad] (bits=8) or bf16[B, D_pad] q/s (bits=4)
+    qn,  # f32[B]  ‖q‖² (zeros for ip/cosine)
+    entry_ids,  # i32[B, E0]
+    entry_d,  # f32[B, E0]
+    ef: int,
+    needs_norms: bool,
+    max_iters: int,
+    expand: int = 4,
+    deg_limit: int | None = None,
+    early_exit: bool = True,
+    bits: int = 8,
+    fused: bool = False,
+    init_pk=None,
+    init_d=None,
+    raw_state: bool = False,
+):
+    """The packed layer-0 beam loop: per iteration, expand the E nearest
+    unexpanded beam nodes by gathering their meta row (ids+norms) and payload
+    chunk rows, scoring all E·deg inlined neighbors with one int8 MXU
+    contraction.  Beam dedup only (the classic engine's measured-default
+    visited mode); distances land in true-f32 domain so the shared bitonic
+    merge applies unchanged.  Returns (ids, d, iters) like the classic
+    layer.
+
+    init_pk/init_d: resume from a previous phase's raw beam state (packed
+    (id, expanded) lanes + distances) instead of seeding from entries —
+    the expand-schedule path (knn_search_packed) chains a wide beam-filling
+    phase into a narrow cruising phase without re-expanding phase-1 work.
+    raw_state=True returns (beam_pk, beam_d, iters) unshifted for chaining.
+
+    deg_limit: expand only each node's first `deg_limit` neighbors.
+    Adjacency rows are distance-ascending (build compaction sorts them), so
+    this visits the nearest deg_limit per node — a degree/iteration tradeoff
+    knob (CAGRA-style): half the gather bytes, half the score work, and a
+    narrower candidate sort per iteration, at more iterations for equal
+    recall.  Only whole payload chunks are fetched, so the effective limit
+    rounds up to a chunk boundary."""
+    step = _beam_body(packed, q8, qn, ef, needs_norms, expand, deg_limit,
+                      bits, fused)
+
+    if init_pk is not None:
+        beam_pk, beam_d = init_pk, init_d
+    else:
+        beam_pk, beam_d = _entries_to_packed_beam(entry_ids, entry_d, ef)
+
+    def cond(state):
+        beam_pk, _, it = state
+        return jnp.any((beam_pk & 1) == 0) & (it < max_iters)
+
+    def body(state):
+        beam_pk, beam_d, it = state
+        beam_pk, beam_d = step(beam_pk, beam_d)
         return beam_pk, beam_d, it + 1
 
     if early_exit:
@@ -566,6 +652,7 @@ def beam_search_layer_packed(
     static_argnames=(
         "k", "ef", "metric", "max_iters", "expand", "seed_e", "rerank_k",
         "deg_limit", "early_exit", "bits", "expand_schedule", "fused",
+        "interleave",
     ),
 )
 def knn_search_packed(
@@ -585,6 +672,7 @@ def knn_search_packed(
     bits: int = 8,
     expand_schedule: tuple | None = None,
     fused: bool = False,
+    interleave: int = 1,
 ):
     """Alg 5 on the packed engine: seed-scan (or greedy) entry, packed int8
     beam at layer 0, then an exact-f32 rerank of the top `rerank_k` beam
@@ -636,6 +724,17 @@ def knn_search_packed(
                 raw_state=True,
             )[:2]
         ids, d = state[0] >> 1, state[1]
+    elif (interleave > 1 and queries.shape[0] % interleave == 0
+          and deg_limit is None):
+        # interleaved sub-batch loop (fori mode): `interleave` independent
+        # sub-batches per iteration — keeps the per-iteration sweet-spot
+        # shape while amortizing fixed cost.  Bit-identical results to the
+        # plain loop per sub-batch.
+        ids, d, _ = beam_search_layer_packed_duo(
+            packed, q8, qn, entry_ids, entry_d, ef,
+            needs_norms=needs_norms, max_iters=max_iters, expand=expand,
+            bits=bits, fused=fused, ways=interleave,
+        )
     else:
         ids, d, _ = beam_search_layer_packed(
             packed, q8, qn, entry_ids, entry_d, ef,

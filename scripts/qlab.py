@@ -55,6 +55,10 @@ def main():
                     help="payload precision: 8 (int8) or 4 (nibble-packed)")
     ap.add_argument("--fused", action="store_true",
                     help="fused meta-in-payload layout (one gather/node)")
+    ap.add_argument("--seed-cap", type=int, default=None,
+                    help="cap the seed bank rows (entry-scan cost knob)")
+    ap.add_argument("--metric", default="l2",
+                    help="dataset/build/query metric (l2, cosine, ip)")
     args = ap.parse_args()
 
     from ocaml_hnsw_tpu.config import HnswConfig
@@ -69,13 +73,14 @@ def main():
 
     n, dim, b = args.n, args.dim, args.batch
     k = 10
-    cfg = HnswConfig(dim=dim, metric="l2", M=16, ef_construction=200)
+    metric = args.metric
+    cfg = HnswConfig(dim=dim, metric=metric, M=16, ef_construction=200)
 
     print(f"[qlab] dataset n={n} dim={dim} batch={b}", flush=True)
     data, make_q = datasets.clustered_device(
         n, dim, n_clusters=max(64, n // 2500), seed=7)
     queries = make_q(args.queries, qseed=8)
-    gt = device_ground_truth(data, queries, k, "l2")
+    gt = device_ground_truth(data, queries, k, metric)
 
     if args.load:
         from ocaml_hnsw_tpu.io import load_index_file
@@ -100,7 +105,7 @@ def main():
             save_index_file(args.save, base_graph, cfg,
                             np.arange(n, dtype=np.int64))
             print(f"[qlab] saved to {args.save}", flush=True)
-    seeds = build_seed_index(base_graph, "l2")
+    seeds = build_seed_index(base_graph, metric, cap=args.seed_cap)
 
     for rspec in args.refine_sweep.split(";"):
         rspec = rspec.strip()
@@ -114,12 +119,12 @@ def main():
             out_deg = int(parts[0])
             hops = int(parts[1]) if len(parts) > 1 else 0
             t0 = time.perf_counter()
-            graph = refined_graph(base_graph, out_deg, "l2", hops=hops)
+            graph = refined_graph(base_graph, out_deg, metric, hops=hops)
             sync(graph.adj0)
             tag = f"deg{out_deg}h{hops}"
             print(f"[qlab] refined to {tag} in "
                   f"{time.perf_counter()-t0:.1f}s", flush=True)
-        packed = pack_graph(graph, "l2", max_chunk=args.max_chunk,
+        packed = pack_graph(graph, metric, max_chunk=args.max_chunk,
                             bits=args.bits, fused=args.fused)
         sync(packed.scale)
         print(f"[qlab] {tag}: payload {packed.pay.nbytes/2**30:.2f} GiB "
@@ -143,19 +148,20 @@ def main():
                 sched, e, mi_arg = None, int(e_s), mi
             ee = bool(int(parts[5])) if len(parts) > 5 else True
             se = int(parts[6]) if len(parts) > 6 else 8
+            il = int(parts[7]) if len(parts) > 7 else 1
 
             def run(q):
                 return knn_search_packed(
-                    graph, packed, q, k=k, ef=ef, metric="l2",
+                    graph, packed, q, k=k, ef=ef, metric=metric,
                     max_iters=mi_arg, expand=e, seeds=seeds, seed_e=se,
                     rerank_k=rk, deg_limit=dl, early_exit=ee,
                     bits=args.bits, expand_schedule=sched,
-                    fused=args.fused)[0]
+                    fused=args.fused, interleave=il)[0]
             ids = run(queries)
             r = recall_of(np.asarray(ids), gt)
             qps = measure_qps(run, queries, batch=b)
             print(f"[qlab] {tag} dl={dl} ef={ef} mi={mi} e={e_s} rk={rk} "
-                  f"ee={int(ee)} se={se}: "
+                  f"ee={int(ee)} se={se} il={il}: "
                   f"recall={r:.4f} qps={qps:.0f}", flush=True)
         del packed
         if graph is not base_graph:

@@ -20,9 +20,21 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# NOTE: the JAX persistent compilation cache was tried here and REVERTED:
-# XLA:CPU AOT reload segfaults on this machine (cpu_aot_loader machine-feature
-# mismatch, "+prefer-no-gather ... could lead to SIGILL" — and it did).
+# Persistent XLA:CPU compile cache (round 5): the suite's wall-clock is
+# almost entirely XLA:CPU compile time (one insert_round family = ~200 s,
+# each knn_search variant 13-15 s, execution centiseconds), and the
+# per-module jax.clear_caches() below forces recompiles.  The disk cache
+# makes those reloads ~5x cheaper.  Round 1 reverted this after a SIGILL in
+# cpu_aot_loader (machine-feature mismatch); re-validated on jax 0.9.0 this
+# round: the loader prints "+prefer-no-gather ... could lead to SIGILL"
+# warnings but reloads execute correctly (full suite green).  If a future
+# toolchain regresses, set OHNSW_TEST_NO_CACHE=1.
+if not os.environ.get("OHNSW_TEST_NO_CACHE"):
+    _cache_dir = os.path.join(os.path.dirname(__file__), "..",
+                              ".pytest_cache", "xla-cpu")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -56,19 +68,37 @@ _CACHE_TAG = "v1"
 def built_state_cached(key: str, config, n: int, data, round_size: int):
     """BuildState over `data`, loaded from the on-disk cache when possible.
 
-    Returns a fresh BuildState that ADOPTED the cached graph (host mirrors,
-    seed bank and RNG stream all rebuilt), which is exactly the
-    load_index path users hit — behaviorally equivalent to building."""
+    The filename mixes the caller's human-readable key with a hash of every
+    build input — config fields, n, round_size, and the data bytes — so two
+    callers reusing a key with different inputs can never collide on a stale
+    artifact (advisor r4).  Returns a fresh BuildState that ADOPTED the
+    cached graph (host mirrors, seed bank and RNG stream all rebuilt), which
+    is exactly the load_index path users hit — behaviorally equivalent to
+    building."""
+    import dataclasses
+    import hashlib
+
     import numpy as np
     from ocaml_hnsw_tpu.models.build import BuildState
     from ocaml_hnsw_tpu.io import save_index_file, load_index_file
 
+    data_np = np.asarray(data)
+    h = hashlib.sha256()
+    h.update(repr(sorted(dataclasses.asdict(config).items())).encode())
+    h.update(f"|n={n}|rs={round_size}|{data_np.dtype}{data_np.shape}".encode())
+    h.update(np.ascontiguousarray(data_np).tobytes())
+    digest = h.hexdigest()[:16]
+
     cache_dir = os.path.join(os.path.dirname(__file__), "..", ".pytest_cache",
                              "graphs")
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"{_CACHE_TAG}-{key}.npz")
+    path = os.path.join(cache_dir, f"{_CACHE_TAG}-{key}-{digest}.npz")
     if os.path.exists(path):
         graph, cfg, _, rng_state, _, _ = load_index_file(path)
+        assert cfg == config, (
+            "graph-cache hash collision: loaded config differs from the "
+            "requested one — delete .pytest_cache/graphs and rerun"
+        )
         st = BuildState(cfg, n, round_size=round_size)
         st.adopt_graph(graph)
         if rng_state is not None:

@@ -95,6 +95,40 @@ class TestPackedSearch:
         r_p = recall(np.asarray(ids_p), gt)
         assert r_p >= r_c - 0.02, (r_p, r_c)
 
+    @pytest.mark.parametrize("ways", [2, 4])
+    def test_interleaved_loop_bit_identical(self, built, ways):
+        """The round-5 interleaved serving loop (duo loop) splits the batch
+        into independent sub-batches in ONE fori program; results must be
+        bit-identical to the plain capped loop."""
+        data, st = built
+        q = jnp.asarray(queries_like(data, 64, seed=7))
+        seeds = build_seed_index(st.graph, "l2")
+        p = pack_graph(st.graph, "l2")
+        kw = dict(k=10, ef=32, metric="l2", max_iters=10, seeds=seeds,
+                  seed_e=8, rerank_k=16, expand=2, early_exit=False)
+        i1, d1 = knn_search_packed(st.graph, p, q, **kw)
+        i2, d2 = knn_search_packed(st.graph, p, q, interleave=ways, **kw)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+    def test_seed_cap_recall_close(self, built):
+        """Serving from a capped seed bank (build_seed_index cap=...) must
+        stay within a small recall band of the full bank."""
+        data, st = built
+        q = queries_like(data, 64, seed=8)
+        gt, _ = bruteforce_knn(data, q, 10, "l2")
+        p = pack_graph(st.graph, "l2")
+        full = build_seed_index(st.graph, "l2")
+        capped = build_seed_index(st.graph, "l2", cap=64)
+        assert capped.ids.shape[0] <= 128  # pow2 padding of <=64 rows
+        kw = dict(k=10, ef=48, metric="l2", seeds=None, seed_e=8)
+        r = {}
+        for name, s in (("full", full), ("capped", capped)):
+            kw["seeds"] = s
+            ids, _ = knn_search_packed(st.graph, p, jnp.asarray(q), **kw)
+            r[name] = recall(np.asarray(ids), gt)
+        assert r["capped"] >= r["full"] - 0.05, r
+
     def test_returned_distances_are_exact_f32(self, built):
         """The final rerank recomputes distances in f32 — returned values
         must equal the true metric on the returned ids."""
