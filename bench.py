@@ -38,7 +38,15 @@ CONFIGS = {
 }
 
 # config 5 measured AS streaming (interleaved timed inserts + query batches)
-STREAMING = {"laion-streaming": (1_000_000, 768, "cosine")}
+# name: (n, dim, metric, storage, data_dtype) — laion5m is the full-spec
+# 5M x 768-d run: bf16 source (7.7 GB) + int8 graph rows (4 GB) is the only
+# combination that fits one 16 GB chip with the build transients
+STREAMING = {
+    "laion-streaming": (1_000_000, 768, "cosine", "f32", "f32", 2048),
+    # round_size 1024: halves the insert-round transients — the 5M config
+    # runs within ~1 GB of the chip's HBM ceiling (see BASELINE.md)
+    "laion5m-streaming": (5_000_000, 768, "cosine", "int8", "bf16", 1024),
+}
 
 TARGET_QPS = 100_000.0  # BASELINE.json north_star
 
@@ -70,10 +78,14 @@ def main():
     from ocaml_hnsw_tpu.bench.harness import run_config, run_streaming_config
 
     if args.config in STREAMING:
-        n, dim, metric = STREAMING[args.config]
+        n, dim, metric, storage, data_dtype, rs = STREAMING[args.config]
         result = run_streaming_config(
             args.config, n=n, dim=dim, metric=metric,
-            n_queries=args.queries, qps_batch=args.qps_batch,
+            n_queries=args.queries, round_size=rs,
+            # classic-engine streaming serves at 4096 (the 8192 default is
+            # the packed duo loop's operating point, not this path's)
+            qps_batch=min(args.qps_batch, 4096),
+            storage=storage, data_dtype=data_dtype,
             verbose=not args.quiet,
         )
         line = {

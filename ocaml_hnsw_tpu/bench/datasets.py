@@ -59,23 +59,53 @@ def laion_shaped(n: int = 5_000_000, n_queries: int = 10_000, seed: int = 17):
 
 
 def clustered_device(n: int, dim: int, n_clusters: int = 100, seed: int = 0,
-                     spread: float = 0.15):
+                     spread: float = 0.15, dtype=None):
     """Device-side clustered data + queries (host→device transfer through the
     axon tunnel runs at only a few MB/s, so 1M-scale benches must generate on
-    the accelerator).  Returns (data f32[n, dim] on device, queries fn)."""
+    the accelerator).  Returns (data [n, dim] on device, queries fn).
+
+    dtype: storage dtype of the returned dataset (default f32).  Pass
+    jnp.bfloat16 for HBM-bound configs (5M x 768-d f32 alone is 15.4 GB of a
+    16 GB chip); generation then runs in bf16 slabs via a fori_loop so the
+    peak transient stays one slab, not a full-size f32 copy."""
     import jax
     import jax.numpy as jnp
 
+    dtype = dtype or jnp.float32
     kc, ka, kn = jax.random.split(jax.random.PRNGKey(seed), 3)
     centers = jax.random.normal(kc, (n_clusters, dim), jnp.float32)
-    assign = jax.random.randint(ka, (n,), 0, n_clusters)
-    data = centers[assign] + spread * jax.random.normal(kn, (n, dim), jnp.float32)
+
+    if dtype == jnp.float32 and n * dim * 4 <= (4 << 30):
+        assign = jax.random.randint(ka, (n,), 0, n_clusters)
+        data = centers[assign] + spread * jax.random.normal(
+            kn, (n, dim), jnp.float32)
+    else:
+        slab = 1 << 19
+        n_pad = ((n + slab - 1) // slab) * slab
+
+        @jax.jit
+        def gen(centers):
+            buf = jnp.zeros((n_pad, dim), dtype)
+
+            def body(i, buf):
+                start = i * slab
+                ks = jax.random.fold_in(ka, i)
+                kv = jax.random.fold_in(kn, i)
+                a = jax.random.randint(ks, (slab,), 0, n_clusters)
+                rows = centers[a] + spread * jax.random.normal(
+                    kv, (slab, dim), jnp.float32)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    buf, rows.astype(dtype), start, 0)
+
+            return jax.lax.fori_loop(0, n_pad // slab, body, buf)
+
+        data = gen(centers)[:n]
 
     def make_queries(n_queries: int, qseed: int = 1, jitter: float = 0.1):
         kp, kj = jax.random.split(jax.random.PRNGKey(qseed), 2)
         picks = jax.random.randint(kp, (n_queries,), 0, n)
-        return data[picks] + jitter * jax.random.normal(
-            kj, (n_queries, dim), jnp.float32
-        )
+        return (data[picks].astype(jnp.float32)
+                + jitter * jax.random.normal(kj, (n_queries, dim),
+                                             jnp.float32))
 
     return data, make_queries

@@ -172,13 +172,20 @@ def run_streaming_config(
     n_steps: int = 10,
     qps_batch: int = 4096,
     seed: int = 7,
+    storage: str = "f32",
+    data_dtype: str = "f32",
     verbose: bool = True,
 ) -> dict:
     """BASELINE config 5 measured AS streaming: interleaved timed insert
     rounds and query batches on one chip.  Reports, per (ef, max_iters)
     setting, sustained query QPS during ingest and end-state recall; the
     headline is the cheapest setting meeting the recall target (or the best
-    recall achieved if none does — reported honestly either way)."""
+    recall achieved if none does — reported honestly either way).
+
+    storage / data_dtype: HBM plan for the 5M x 768-d full-scale run — the
+    f32 source alone would be 15.4 GB, so the dataset generates as bf16
+    slabs and the graph stores int8 rows (build and query cast per
+    round/slab; GT stays exact from the source rows at f32 compute)."""
     from ocaml_hnsw_tpu.models.search import build_seed_index
 
     def log(msg):
@@ -187,7 +194,8 @@ def run_streaming_config(
 
     log("generating dataset on device")
     data, make_q = datasets.clustered_device(
-        n, dim, n_clusters=max(64, n // 2500), seed=seed
+        n, dim, n_clusters=max(64, n // 2500), seed=seed,
+        dtype=jnp.bfloat16 if data_dtype == "bf16" else None,
     )
     queries = make_q(n_queries, qseed=seed + 1)
     qb = jnp.asarray(queries)
@@ -201,12 +209,17 @@ def run_streaming_config(
     gt = device_ground_truth(data, queries, k, metric)
 
     cfg = HnswConfig(dim=dim, metric=metric, M=M,
-                     ef_construction=ef_construction)
+                     ef_construction=ef_construction, storage=storage)
     state = BuildState(cfg, n, round_size=round_size)
     n_warm = int(n * warm_frac)
     t0 = time.perf_counter()
-    state.add(data[:n_warm])
-    np.asarray(state.graph.n)
+    # feed the warm build in <=1M-row slices: state.add(data[:n_warm])
+    # materializes the slice, and a 2.5M x 768-d bf16 slice (3.9 GB) tips
+    # the 5M-config HBM budget over (source 7.7 + graph 4.7 GB)
+    warm_chunk = 500_000
+    for lo in range(0, n_warm, warm_chunk):
+        state.add(data[lo: min(lo + warm_chunk, n_warm)])
+        np.asarray(state.graph.n)
     warm_s = time.perf_counter() - t0
     log(f"warm build {n_warm} in {warm_s:.1f}s = {n_warm/warm_s:.0f} vps")
 
@@ -376,6 +389,24 @@ def run_config(
 
         cfg = HnswConfig(dim=dim, metric=metric, M=M,
                          ef_construction=ef_construction, storage=storage)
+        # Compile warm-up, UNTIMED and labeled (round-4 verdict task: the
+        # driver-protocol build number rode on persistent-cache state nobody
+        # controls — cold-cache runs measured 5.2k vps where warm measured
+        # 20k+).  A first build of the same data compiles every program
+        # family the timed build uses (bulk passes pad to capacity and the
+        # _upper_level buckets key on the observed level counts, so only a
+        # same-shape build warms them all); the result is discarded and the
+        # timed region below then measures device throughput regardless of
+        # cache state.  Gated to the bulk-eligible headline sizes — at 10M
+        # the round-path build is many minutes and doubling it buys nothing.
+        if 100_000 <= n <= 2_000_000 and not big:
+            log("compile warm-up: untimed same-shape build (result discarded)")
+            t0 = time.perf_counter()
+            state_w = BuildState(cfg, n, round_size=round_size)
+            state_w.add(data)
+            np.asarray(state_w.graph.n)
+            del state_w
+            log(f"warm-up done in {time.perf_counter() - t0:.1f}s")
         log(f"hnsw build: n={n} dim={dim} metric={metric} M={M} "
             f"efC={ef_construction} storage={storage}")
         t0 = time.perf_counter()
@@ -483,6 +514,11 @@ def run_config(
 
     if "flat" in engines and flat is None:
         log("rebuilding flat engine (freed during the 10M hnsw build)")
+        # free the 10M graph + payload first — at this scale graph tensors
+        # (~3.2 GB) + the rebuilt flat pair + the bf16 source do not all fit
+        # (measured: ResourceExhausted in flat_add right here, round 5)
+        if "hnsw" in engines:
+            state = seeds = packed = None
         flat = build_flat(data, metric, scan_dtype=scan_dtype,
                           rerank_dtype=rerank_dtype)
         np.asarray(flat.n)

@@ -922,6 +922,27 @@ def insert_round(
 
 
 # ------------------------------------------------------- scan round driver
+@partial(jax.jit, donate_argnums=(0,))
+def _normalize_rows_donated(data):
+    """Row-normalize a device array IN PLACE (donated input; slab fori).
+
+    Slabs past the end clamp to the last full-slab start, so tail rows are
+    normalized twice — idempotent, and cheaper than shape-specializing the
+    tail."""
+    n = data.shape[0]
+    slab = min(262144, n)
+
+    def body(i, buf):
+        start = jnp.minimum(i * slab, n - slab)
+        blk = jax.lax.dynamic_slice_in_dim(buf, start, slab).astype(
+            jnp.float32)
+        nrm = jnp.linalg.norm(blk, axis=1, keepdims=True)
+        blk = (blk / jnp.where(nrm == 0, 1.0, nrm)).astype(buf.dtype)
+        return jax.lax.dynamic_update_slice_in_dim(buf, blk, start, 0)
+
+    return jax.lax.fori_loop(0, -(-n // slab), body, data)
+
+
 def _pick_round(data, levels, done, count, rs: int):
     """Slice one round's rows out of the device-resident payload (clip-gather
     so no padded copy of `data` is ever made; rows past `count` are masked to
@@ -1195,11 +1216,13 @@ class BuildState:
         if isinstance(data, jnp.ndarray):
             # device-resident data keeps its dtype (a bf16 source halves the
             # build's HBM residency at 10M; insert_round casts each round's
-            # R-row slice to f32, so compute precision is unchanged)
+            # R-row slice to f32, so compute precision is unchanged).
+            # Normalization runs as a DONATED slab loop: a whole-array f32
+            # temp OOM'd the 5M x 768-d streaming config (7.7 GB bf16 source
+            # + 7.7 GB f32 copy + graph tensors), where the donated fori
+            # peaks at source + one slab.
             if normalize:
-                f = data.astype(jnp.float32)
-                nrm = jnp.linalg.norm(f, axis=1, keepdims=True)
-                data = (f / jnp.where(nrm == 0, 1.0, nrm)).astype(data.dtype)
+                data = _normalize_rows_donated(data)
             return data
         data = np.asarray(data, dtype=np.float32)
         if normalize:
@@ -1430,7 +1453,17 @@ class BuildState:
             done += count
         kw = self._round_kwargs()
         i = 0
+        rounds_since_sync = 0
         while i < len(rounds):
+            # Bound the in-flight dispatch queue: enqueueing a whole 10M
+            # build (~4900 rounds) without ever syncing floods the axon
+            # tunnel's queue and collapses device throughput (measured
+            # round 5: an unsynced 10M add sat >2 h where a per-200k-row
+            # synced loop built at 4.4k vps).  One scalar fetch per ~256
+            # rounds costs a round trip and keeps the queue shallow.
+            if rounds_since_sync >= 256:
+                np.asarray(self.graph.n)
+                rounds_since_sync = 0
             chunk_len = next(
                 (c for c in self.SCAN_CHUNKS if len(rounds) - i >= c), None
             )
@@ -1447,6 +1480,7 @@ class BuildState:
                     self.pack_scale, self.pack_dist, rs=rs, **kw,
                 )
                 i += chunk_len
+                rounds_since_sync += chunk_len
             else:
                 d, count = rounds[i]
                 vecs, lvls = _pick_round_jit(
@@ -1461,6 +1495,7 @@ class BuildState:
                     self.pack_scale, self.pack_dist, **kw,
                 )
                 i += 1
+                rounds_since_sync += 1
         if rounds:
             tail = levels[rounds[0][0]:]  # rows inserted by the rounds
             self.host_max_level = max(self.host_max_level, int(tail.max()))

@@ -48,9 +48,18 @@ def _free_jax_executables():
     accumulate in one process on this machine (observed deterministically
     ~30 tests into the suite, in backend_compile_and_load; each test passes
     in isolation).  Dropping jit caches between modules avoids the crash at
-    the cost of cross-module recompiles."""
+    the cost of cross-module recompiles.
+
+    Round 5: re-tested with the persistent compile cache ON (above) in the
+    hope that AOT-loaded executables would sidestep the accumulation bug —
+    they do NOT (a no-clear full suite still hard-crashed mid-run), so the
+    per-module clear stays.  The disk cache makes each post-clear reload
+    ~5x cheaper than a fresh compile, which is where the round-5 speedup
+    comes from.  OHNSW_TEST_KEEP_CACHES=1 skips the clear for single-module
+    debugging runs."""
     yield
-    jax.clear_caches()
+    if not os.environ.get("OHNSW_TEST_KEEP_CACHES"):
+        jax.clear_caches()
 
 
 # --------------------------------------------------------------------------
