@@ -498,6 +498,14 @@ def apply_edges(
         "build_mi", "build_ck", "build_expand", "extend", "heuristic",
         "select_scan",
     ),
+    # donate the graph: without aliasing, every dispatch transiently holds
+    # TWO copies of each updated tensor — at 5M x 768-d the int8 vectors
+    # alone are 3.84 GB and the doubling OOM'd the config (round 5).  Every
+    # production caller replaces its graph with the result (BuildState.add,
+    # the scan driver, shard_map steps); donation is a no-op on the CPU test
+    # backend.  Lab scripts that re-call insert_round on a kept snapshot
+    # must copy it first.
+    donate_argnames=("graph",),
 )
 def insert_round(
     graph: GraphTensors,
@@ -1030,9 +1038,15 @@ def insert_rounds_scan(
 
 
 # ---------------------------------------------------------------- bootstrap
-def bootstrap(graph: GraphTensors, vec, level: int, metric: str,
+@partial(jax.jit, static_argnames=("metric", "storage"),
+         donate_argnames=("graph",))
+def bootstrap(graph: GraphTensors, vec, level, metric: str,
               storage: str = "f32") -> GraphTensors:
-    """Insert the very first point (no search needed — empty graph)."""
+    """Insert the very first point (no search needed — empty graph).
+
+    Jitted with the graph donated: the eager `.at[0].set` chain transiently
+    doubled the vectors tensor, which OOM'd the 5M x 768-d config on a
+    near-full chip (round 5)."""
     q = jnp.asarray(vec, jnp.float32)[None, :]
     qrows, qscales, qnorms = quantize_rows(q, storage)
     if metric != "l2":
@@ -1041,11 +1055,13 @@ def bootstrap(graph: GraphTensors, vec, level: int, metric: str,
         vectors=graph.vectors.at[0].set(qrows[0]),
         scales=graph.scales.at[0].set(qscales[0]),
         norms=graph.norms.at[0].set(qnorms[0]),
-        levels=graph.levels.at[0].set(level),
-        up_base=graph.up_base.at[0].set(0 if level >= 1 else -1),
-        up_n=jnp.int32(level),
+        levels=graph.levels.at[0].set(
+            jnp.asarray(level, graph.levels.dtype)),
+        up_base=graph.up_base.at[0].set(
+            jnp.where(jnp.asarray(level) >= 1, 0, -1).astype(jnp.int32)),
+        up_n=jnp.asarray(level, jnp.int32),
         entry=jnp.int32(0),
-        max_level=jnp.int32(level),
+        max_level=jnp.asarray(level, jnp.int32),
         n=jnp.int32(1),
     )
 
@@ -1454,6 +1470,11 @@ class BuildState:
         kw = self._round_kwargs()
         i = 0
         rounds_since_sync = 0
+        # host mirror of graph.n for the per-round path's `start` argument:
+        # graph.n itself is part of the DONATED graph tree, and passing the
+        # same buffer again as a separate argument trips XLA's runtime
+        # donation-aliasing check (async InvalidArgument — round 5)
+        n_base = self.host_n - (rounds[0][0] if rounds else 0)
         while i < len(rounds):
             # Bound the in-flight dispatch queue: enqueueing a whole 10M
             # build (~4900 rounds) without ever syncing floods the axon
@@ -1489,7 +1510,8 @@ class BuildState:
                 (self.graph, self.seed_bank, self.seed_n, self.seed_vecs,
                  self.seed_norms, self.pack_pay, self.pack_meta,
                  self.pack_dist) = insert_round(
-                    self.graph, vecs, lvls, self.graph.n, jnp.int32(count),
+                    self.graph, vecs, lvls, jnp.int32(n_base + d),
+                    jnp.int32(count),
                     self.seed_bank, self.seed_n, self.seed_vecs,
                     self.seed_norms, self.pack_pay, self.pack_meta,
                     self.pack_scale, self.pack_dist, **kw,
